@@ -1,0 +1,121 @@
+"""Tokenizers behind one small interface.
+
+The reference tokenizes with HuggingFace slow tokenizers *inside the train
+step, every batch, every epoch* (`n_best_asr_bert.py:249-250`,
+`utils/bert_xlnet_inputs.py:46-53`).  Here tokenization is offline and
+happens exactly once per dataset (see `input_builder.py`); the trainer only
+ever sees fixed-shape int arrays.
+
+Two implementations:
+
+- ``HFTokenizerAdapter`` — wraps a transformers tokenizer for the
+  pretrained families the reference supports (bert / roberta / xlm-roberta /
+  TOD-BERT checkpoints; `n_best_asr_bert.py:33-37, 480-487`).  Requires the
+  checkpoint files to exist locally (this environment has no network).
+- ``WordVocabTokenizer`` — self-contained whole-word tokenizer over the
+  ETL's word vocab (`memory.json``'s word2idx).  Used for from-scratch
+  training, smoke tests and benchmarks when no HF checkpoint is on disk.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+from .. import constants as C
+from .vocab import Memory
+
+
+class BaseTokenizer:
+    cls_token: str
+    sep_token: str
+    pad_token: str
+    pad_token_id: int
+    vocab_size: int
+    # True when '[SEP]' between n-best hypotheses must be rendered as a
+    # doubled separator (XLM-R convention, `bert_xlnet_inputs.py:37-40`).
+    double_sep: bool = False
+
+    def tokenize(self, word: str) -> List[str]:
+        raise NotImplementedError
+
+    def convert_tokens_to_ids(self, tokens: Sequence[str]) -> List[int]:
+        raise NotImplementedError
+
+
+class WordVocabTokenizer(BaseTokenizer):
+    """Whole-word tokenizer over the ETL word vocab.
+
+    ids reuse the memory's word2idx (PAD=0, UNK=1, ..., CLS=4) and append a
+    dedicated ``<sep>`` id at the end (same trick as reference
+    `utils/util.py:66-70`).
+    """
+
+    def __init__(self, memory: Memory, lowercase: bool = True):
+        self.vocab: Dict[str, int] = dict(memory.word2idx)
+        self.lowercase = lowercase
+        self.cls_token = C.CLS_WORD
+        self.pad_token = C.PAD_WORD
+        self.sep_token = "<sep>"
+        # [SYS]/[USR] are special tokens in the TOD-BERT vocab the reference
+        # relies on (`bert_xlnet_inputs.py:30-35`); register them so the TOD
+        # layout round-trips through the fallback tokenizer as well.
+        for special in (self.sep_token, C.SYS_MARK, C.USR_MARK):
+            if special not in self.vocab:
+                self.vocab[special] = len(self.vocab)
+        self.pad_token_id = self.vocab[C.PAD_WORD]
+        self.vocab_size = len(self.vocab)
+
+    def tokenize(self, word: str) -> List[str]:
+        if word in self.vocab:  # specials & exact hits bypass lowercasing
+            return [word]
+        if self.lowercase:
+            word = word.lower()
+        return [word if word in self.vocab else C.UNK_WORD]
+
+    def convert_tokens_to_ids(self, tokens: Sequence[str]) -> List[int]:
+        return [self.vocab.get(t, C.UNK) for t in tokens]
+
+
+class HFTokenizerAdapter(BaseTokenizer):
+    """Adapter over a transformers tokenizer (local files only)."""
+
+    def __init__(self, name_or_path: str, family: str | None = None):
+        from transformers import AutoTokenizer
+
+        self._tok = AutoTokenizer.from_pretrained(
+            name_or_path, local_files_only=True
+        )
+        self.cls_token = self._tok.cls_token
+        self.sep_token = self._tok.sep_token
+        self.pad_token = self._tok.pad_token
+        self.pad_token_id = self._tok.pad_token_id
+        self.vocab_size = self._tok.vocab_size
+        self.double_sep = (family == "xlm-roberta")
+
+    def tokenize(self, word: str) -> List[str]:
+        return self._tok.tokenize(word)
+
+    def convert_tokens_to_ids(self, tokens: Sequence[str]) -> List[int]:
+        return self._tok.convert_tokens_to_ids(list(tokens))
+
+
+def load_tokenizer(pre_trained_model: str | None,
+                   tod_pre_trained_model: str | None,
+                   memory: Memory) -> BaseTokenizer:
+    """Resolve the tokenizer the same way the reference resolves
+    `opt.tokenizer` (`n_best_asr_bert.py:480-487`), with the word-vocab
+    tokenizer as the no-checkpoint fallback."""
+    hf_names = {
+        "bert": "bert-base-uncased",
+        "roberta": "roberta-base",
+        "xlm-roberta": "xlm-roberta-base",
+    }
+    try:
+        if tod_pre_trained_model:
+            return HFTokenizerAdapter(tod_pre_trained_model)
+        if pre_trained_model in hf_names:
+            return HFTokenizerAdapter(hf_names[pre_trained_model],
+                                      family=pre_trained_model)
+    except Exception:
+        pass  # fall through to the self-contained tokenizer
+    return WordVocabTokenizer(memory)
