@@ -1,0 +1,202 @@
+"""BERT-family transformer encoder, TPU-first pure-JAX implementation.
+
+Replaces the reference's external HF BertModel / XLMRobertaModel
+(`models/model.py:19, 42-58`; registry `n_best_asr_bert.py:33-37`).  Design
+departures from a torch port, all deliberate:
+
+- **Stacked layer parameters + `lax.scan`**: every layer's weights are
+  stacked along a leading ``(num_layers, ...)`` axis and the encoder body is
+  a single scanned step.  One trace, one compile, uniform sharding specs
+  per-layer; no Python loop over modules.
+- **Static shapes, real masks**: attention uses an explicit ``(b, s)`` mask
+  from the data pipeline; this *fixes* the reference's ``input_ids > 0``
+  quirk that mis-masks XLM-R (pad=1, bos=0 — ref `models/model.py:43`,
+  SURVEY.md §7 step 2).
+- **bf16 compute / f32 params + LayerNorm**: `config.compute_dtype`
+  controls activation/matmul precision; LN and softmax stay f32.
+- **RoBERTa/XLM-R position offset** (`position_offset=2`) so the HF
+  checkpoint converter maps position tables 1:1.
+
+No pooler: the reference consumes ``sequence_output[:, 0]`` directly
+(`models/model.py:47`), so the pooler would be dead weight.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import multi_head_attention
+from ..ops.layers import dense, dropout, gelu, layer_norm
+
+
+@dataclass(frozen=True)
+class EncoderConfig:
+    vocab_size: int
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position: int = 512
+    type_vocab_size: int = 2
+    hidden_dropout: float = 0.1     # reference --bert_dropout default
+    attn_dropout: float = 0.1
+    layer_norm_eps: float = 1e-12
+    position_offset: int = 0        # 2 for roberta/xlm-roberta
+    initializer_range: float = 0.02
+    compute_dtype: str = "float32"  # "bfloat16" on TPU hot path
+    use_flash_attention: bool = False
+    remat: bool = False             # jax.checkpoint the layer scan body
+
+    @property
+    def head_dim(self) -> int:
+        assert self.hidden_size % self.num_heads == 0
+        return self.hidden_size // self.num_heads
+
+    @property
+    def cdtype(self):
+        return jnp.dtype(self.compute_dtype)
+
+    @staticmethod
+    def bert_base(vocab_size: int = 30522, **kw) -> "EncoderConfig":
+        return EncoderConfig(vocab_size=vocab_size, **kw)
+
+    @staticmethod
+    def xlmr_base(**kw) -> "EncoderConfig":
+        kw.setdefault("type_vocab_size", 1)
+        return EncoderConfig(vocab_size=250002, max_position=514,
+                             position_offset=2, layer_norm_eps=1e-5, **kw)
+
+    @staticmethod
+    def tiny(vocab_size: int, **kw) -> "EncoderConfig":
+        """Test-size config (fast CPU compile)."""
+        kw.setdefault("hidden_size", 64)
+        kw.setdefault("num_layers", 2)
+        kw.setdefault("num_heads", 4)
+        kw.setdefault("intermediate_size", 128)
+        kw.setdefault("max_position", 320)
+        return EncoderConfig(vocab_size=vocab_size, **kw)
+
+
+def init_encoder_params(rng, cfg: EncoderConfig) -> dict:
+    """Truncated-normal(initializer_range) like BERT pretraining; biases and
+    LN offsets zero, LN scales one.  Params are f32; stacked per layer."""
+    h, i, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+
+    def tn(key, shape):
+        return (jax.random.truncated_normal(key, -2.0, 2.0, shape,
+                                            dtype=jnp.float32)
+                * cfg.initializer_range)
+
+    keys = jax.random.split(rng, 8)
+    emb = {
+        "word": tn(keys[0], (cfg.vocab_size, h)),
+        "position": tn(keys[1], (cfg.max_position, h)),
+        "type": tn(keys[2], (max(cfg.type_vocab_size, 1), h)),
+        "ln_scale": jnp.ones((h,), jnp.float32),
+        "ln_bias": jnp.zeros((h,), jnp.float32),
+    }
+
+    lk = jax.random.split(keys[3], 6)
+    layers = {
+        "qkv_kernel": tn(lk[0], (L, h, 3 * h)),
+        "qkv_bias": jnp.zeros((L, 3 * h), jnp.float32),
+        "attn_out_kernel": tn(lk[1], (L, h, h)),
+        "attn_out_bias": jnp.zeros((L, h), jnp.float32),
+        "attn_ln_scale": jnp.ones((L, h), jnp.float32),
+        "attn_ln_bias": jnp.zeros((L, h), jnp.float32),
+        "ffn_in_kernel": tn(lk[2], (L, h, i)),
+        "ffn_in_bias": jnp.zeros((L, i), jnp.float32),
+        "ffn_out_kernel": tn(lk[3], (L, i, h)),
+        "ffn_out_bias": jnp.zeros((L, h), jnp.float32),
+        "ffn_ln_scale": jnp.ones((L, h), jnp.float32),
+        "ffn_ln_bias": jnp.zeros((L, h), jnp.float32),
+    }
+    return {"embeddings": emb, "layers": layers}
+
+
+def _embed(params: dict, input_ids: jnp.ndarray,
+           token_type_ids: Optional[jnp.ndarray], cfg: EncoderConfig,
+           rng, deterministic: bool) -> jnp.ndarray:
+    emb = params["embeddings"]
+    b, s = input_ids.shape
+    positions = jnp.arange(s, dtype=jnp.int32) + cfg.position_offset
+    x = emb["word"][input_ids]
+    x = x + emb["position"][positions][None, :, :]
+    if token_type_ids is not None and cfg.type_vocab_size > 0:
+        x = x + emb["type"][token_type_ids]
+    else:
+        x = x + emb["type"][0][None, None, :]
+    x = layer_norm(x, emb["ln_scale"], emb["ln_bias"], cfg.layer_norm_eps)
+    if not deterministic:
+        x = dropout(x, cfg.hidden_dropout, jax.random.fold_in(rng, 0xE),
+                    deterministic)
+    return x.astype(cfg.cdtype)
+
+
+def encoder_forward(params: dict, input_ids: jnp.ndarray,
+                    attn_mask: jnp.ndarray,
+                    token_type_ids: Optional[jnp.ndarray],
+                    cfg: EncoderConfig, *, deterministic: bool = True,
+                    rng=None) -> jnp.ndarray:
+    """Returns the final hidden states (b, s, h) in compute dtype.
+
+    The per-layer body runs under `lax.scan` over the stacked layer params;
+    `cfg.remat` wraps it in `jax.checkpoint` to trade recompute for HBM.
+    """
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    x = _embed(params, input_ids, token_type_ids, cfg, rng, deterministic)
+    b, s, h = x.shape
+    nh, hd = cfg.num_heads, cfg.head_dim
+    cdt = cfg.cdtype
+
+    def layer_step(carry, scanned):
+        x, layer_idx = carry
+        p = scanned
+        lrng = jax.random.fold_in(rng, layer_idx)
+
+        qkv = dense(x, p["qkv_kernel"].astype(cdt), p["qkv_bias"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, s, nh, hd)
+        k = k.reshape(b, s, nh, hd)
+        v = v.reshape(b, s, nh, hd)
+        ctx = multi_head_attention(
+            q, k, v, attn_mask,
+            dropout_rate=cfg.attn_dropout,
+            dropout_rng=jax.random.fold_in(lrng, 1),
+            deterministic=deterministic,
+            use_flash=cfg.use_flash_attention,
+        ).reshape(b, s, h)
+        ctx = dense(ctx, p["attn_out_kernel"].astype(cdt),
+                    p["attn_out_bias"])
+        if not deterministic:
+            ctx = dropout(ctx, cfg.hidden_dropout,
+                          jax.random.fold_in(lrng, 2), deterministic)
+        x = layer_norm(x + ctx, p["attn_ln_scale"], p["attn_ln_bias"],
+                       cfg.layer_norm_eps)
+
+        y = dense(x, p["ffn_in_kernel"].astype(cdt), p["ffn_in_bias"])
+        y = gelu(y)
+        y = dense(y, p["ffn_out_kernel"].astype(cdt), p["ffn_out_bias"])
+        if not deterministic:
+            y = dropout(y, cfg.hidden_dropout,
+                        jax.random.fold_in(lrng, 3), deterministic)
+        x = layer_norm(x + y, p["ffn_ln_scale"], p["ffn_ln_bias"],
+                       cfg.layer_norm_eps)
+        return (x, layer_idx + 1), None
+
+    step = layer_step
+    if cfg.remat:
+        step = jax.checkpoint(layer_step, prevent_cse=False)
+
+    (x, _), _ = jax.lax.scan(step, (x, jnp.int32(0)), params["layers"])
+    return x
+
+
+def count_params(params) -> int:
+    return int(sum(np.prod(p.shape) for p in jax.tree.leaves(params)))

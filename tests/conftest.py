@@ -3,12 +3,20 @@ pjit/Mesh sharding paths are exercised without TPU hardware (SURVEY.md §4)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Override (not setdefault): the session exports JAX_PLATFORMS=axon (the
+# real TPU tunnel) and the axon sitecustomize re-forces it via
+# jax.config.update at interpreter start — so env vars alone are not
+# enough.  Update the config *after* import, before any backend init.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 import sys
