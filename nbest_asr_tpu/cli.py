@@ -1,0 +1,101 @@
+"""CLI entry point — `python -m nbest_asr_tpu.cli <flags>`.
+
+Drop-in surface for the reference's `python n_best_asr_bert.py <flags>`
+(`n_best_asr_bert.py:476-581`): same flags, same log lines, same artifact
+layout under the experiment directory.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+import numpy as np
+
+from .config import RunOptions, parse_arguments
+from .data.dataset import read_sep_data
+from .data.input_builder import pack_split
+from .data.tokenizer import load_tokenizer
+from .data.vocab import Memory
+
+
+def resolve_memory(opt: RunOptions) -> Memory:
+    """memory.json preferred; reference-format memory.pt accepted
+    (ref loads `dataroot/memory.pt`, :489)."""
+    for candidate in (opt.memory_file, "memory.json", "memory.pt"):
+        path = os.path.join(opt.dataroot, candidate)
+        if os.path.exists(path):
+            return Memory.load(path)
+    raise FileNotFoundError(
+        f"no memory bundle (memory.json/memory.pt) under {opt.dataroot}")
+
+
+def prepare_packed_splits(opt: RunOptions, memory: Memory, tokenizer):
+    splits = {}
+    raw = {}
+    paths = {
+        "train": os.path.join(opt.dataroot, opt.train_file),
+        "valid": os.path.join(opt.dataroot, opt.valid_file),
+        "test": os.path.join(opt.dataroot, opt.test_file),
+    }
+    for name, path in paths.items():
+        if not os.path.exists(path):
+            continue  # tolerate missing shards (e.g. stripped test set)
+        coverage = opt.coverage if name == "train" else None  # ref :524-526
+        raw[name] = read_sep_data(path, coverage)
+
+    # one static max_len across splits so every step shares a compilation
+    max_len = opt.max_seq_len
+    for name, split in raw.items():
+        splits[name] = pack_split(split, tokenizer, memory,
+                                  layout=opt.layout, max_len=max_len,
+                                  len_multiple=opt.len_multiple)
+    if max_len is None and splits:
+        # unify to the largest packed length, re-pack the shorter ones
+        target = max(p.max_len for p in splits.values())
+        for name, packed in list(splits.items()):
+            if packed.max_len != target:
+                splits[name] = pack_split(raw[name], tokenizer, memory,
+                                          layout=opt.layout,
+                                          max_len=target,
+                                          len_multiple=opt.len_multiple)
+    return splits
+
+
+def main(argv=None) -> int:
+    opt = parse_arguments(argv)
+
+    # global seeding (ref :128-133)
+    random.seed(opt.random_seed)
+    np.random.seed(opt.random_seed)
+
+    memory = resolve_memory(opt)
+    tokenizer = load_tokenizer(opt.pre_trained_model,
+                               opt.tod_pre_trained_model, memory)
+    splits = prepare_packed_splits(opt, memory, tokenizer)
+    if "valid" not in splits:
+        print("missing valid shard", file=sys.stderr)
+        return 2
+    if "train" not in splits and not opt.testing:
+        print("missing train shard (training mode)", file=sys.stderr)
+        return 2
+
+    from .train.loop import Trainer, build_model
+
+    cfg, params = build_model(opt, memory, tokenizer)
+    os.makedirs(opt.exp_dir, exist_ok=True)
+    trainer = Trainer(opt, memory, cfg, params, splits,
+                      family=opt.pre_trained_model)
+
+    if opt.testing:
+        trainer.test()
+    else:
+        if opt.resume:
+            trainer.load_checkpoint(opt.resume)
+        trainer.train()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,195 @@
+"""Run configuration + CLI.
+
+The public flag surface is the reference's argparse
+(`n_best_asr_bert.py:39-142`, documented in its README:50-64) — flag names
+are API.  TPU-native additions are grouped at the bottom and default to
+sensible TPU behavior.
+
+Unlike the reference (which mutates one argparse namespace and threads it
+everywhere, including into the model forward — SURVEY.md §5.6), this is a
+plain dataclass resolved once; runtime objects (tokenizer, optimizer, mesh)
+live in the Trainer.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass
+class RunOptions:
+    # ------------- model structure (ref :43-55) ----------------------- #
+    emb_size: int = 256
+    hidden_size: int = 512
+    max_seq_len: Optional[int] = None
+    n_layers: int = 6
+    n_head: int = 4
+    d_k: int = 64
+    d_v: int = 64
+    score_util: str = "pp"          # vestigial in the reference; accepted
+    sent_repr: str = "bin_sa_cls"   # vestigial; accepted
+    cls_type: str = "stc"
+
+    # ------------- data & vocab (ref :57-63) -------------------------- #
+    dataset: str = "dstc2"
+    dataroot: str = ""
+    train_file: str = "train"
+    valid_file: str = "valid"
+    test_file: str = "test"
+    ontology_path: Optional[str] = None
+
+    # ------------- pretrained model (ref :66-68, :100-101) ------------ #
+    bert_model_name: str = "bert-base-uncased"
+    fix_bert_model: bool = False
+    pre_trained_model: Optional[str] = None       # bert|roberta|xlm-roberta
+    tod_pre_trained_model: Optional[str] = None   # checkpoint path
+
+    # ------------- training & testing (ref :71-86) -------------------- #
+    testing: bool = False
+    deviceId: int = -1              # accepted for CLI parity; JAX picks
+    random_seed: int = 999
+    l2: float = 0.0
+    dropout: float = 0.0
+    bert_dropout: float = 0.1
+    batchSize: int = 16
+    max_norm: float = 5.0
+    max_epoch: int = 50
+    experiment: str = "exp"
+    optim_choice: str = "bertadam"
+    lr: float = 5e-4
+    bert_lr: float = 1e-5
+    warmup_proportion: float = 0.1
+    init_type: str = "uf"
+    init_range: float = 0.2
+
+    # ------------- semantics flags (ref :89-109) ---------------------- #
+    with_system_act: bool = False
+    coverage: Optional[float] = None
+    add_l2_loss: bool = False
+    without_system_act: bool = False
+    add_segment_ids: bool = False
+
+    # ------------- TPU-native additions ------------------------------- #
+    compute_dtype: str = "float32"        # bfloat16 for the TPU hot path
+    use_flash_attention: bool = False
+    remat: bool = False
+    n_model_parallel: int = 1             # tensor-parallel mesh axis
+    len_multiple: int = 8                 # pad lengths to this multiple
+    memory_file: str = "memory.json"      # memory.pt also accepted
+    eval_batch: Optional[int] = None      # defaults to the train micro_b
+    checkpoint_every: int = 0             # extra periodic ckpt (epochs)
+    resume: Optional[str] = None          # checkpoint dir to resume from
+
+    # ------------- resolved at setup ---------------------------------- #
+    ontology: Optional[dict] = field(default=None, repr=False)
+    exp_dir: str = ""
+
+    @property
+    def n_accum_steps(self) -> int:
+        # parity: `n_best_asr_bert.py:522`
+        return 4 if self.n_layers == 12 else 1
+
+    @property
+    def micro_batch(self) -> int:
+        # parity: dataloader batch = batchSize / n_accum (ref :527)
+        return max(1, int(self.batchSize / self.n_accum_steps))
+
+    @property
+    def layout(self) -> str:
+        if self.tod_pre_trained_model:
+            return "tod"
+        if self.without_system_act:
+            return "no_system_act"
+        return "default"
+
+    def resolve(self) -> "RunOptions":
+        if self.ontology_path:
+            with open(self.ontology_path) as fp:
+                self.ontology = json.load(fp)
+        if not self.exp_dir:
+            from .utils.exp_dir import get_exp_dir
+
+            self.exp_dir = get_exp_dir(self)
+        return self
+
+
+def parse_arguments(argv=None) -> RunOptions:
+    d = RunOptions()
+    p = argparse.ArgumentParser(
+        description="nbest_asr_tpu trainer (reference-compatible CLI)")
+
+    # model structure
+    p.add_argument("--emb_size", type=int, default=d.emb_size)
+    p.add_argument("--hidden_size", type=int, default=d.hidden_size)
+    p.add_argument("--max_seq_len", type=int, default=None)
+    p.add_argument("--n_layers", type=int, default=d.n_layers)
+    p.add_argument("--n_head", type=int, default=d.n_head)
+    p.add_argument("--d_k", type=int, default=d.d_k)
+    p.add_argument("--d_v", type=int, default=d.d_v)
+    p.add_argument("--score_util", default=d.score_util,
+                   choices=["none", "np", "pp", "mul"])
+    p.add_argument("--sent_repr", default=d.sent_repr)
+    p.add_argument("--cls_type", default=d.cls_type,
+                   choices=["nc", "tf_hd", "stc"])
+
+    # data & vocab
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--dataroot", required=True)
+    p.add_argument("--train_file", default=d.train_file)
+    p.add_argument("--valid_file", default=d.valid_file)
+    p.add_argument("--test_file", default=d.test_file)
+    p.add_argument("--ontology_path", default=None)
+
+    # pretrained model
+    p.add_argument("--bert_model_name", default=d.bert_model_name)
+    p.add_argument("--fix_bert_model", action="store_true")
+    p.add_argument("--pre_trained_model", default=None)
+    p.add_argument("--tod_pre_trained_model", default=None)
+
+    # training & testing
+    p.add_argument("--testing", action="store_true")
+    p.add_argument("--deviceId", type=int, default=-1)
+    p.add_argument("--random_seed", type=int, default=d.random_seed)
+    p.add_argument("--l2", type=float, default=d.l2)
+    p.add_argument("--dropout", type=float, default=d.dropout)
+    p.add_argument("--bert_dropout", type=float, default=d.bert_dropout)
+    p.add_argument("--batchSize", type=int, default=d.batchSize)
+    p.add_argument("--max_norm", type=float, default=d.max_norm)
+    p.add_argument("--max_epoch", type=int, default=d.max_epoch)
+    p.add_argument("--experiment", default=d.experiment)
+    p.add_argument("--optim_choice", default=d.optim_choice,
+                   choices=["adam", "adamw", "bertadam"])
+    p.add_argument("--lr", type=float, default=d.lr)
+    p.add_argument("--bert_lr", type=float, default=d.bert_lr)
+    p.add_argument("--warmup_proportion", type=float,
+                   default=d.warmup_proportion)
+    p.add_argument("--init_type", default=d.init_type,
+                   choices=["uf", "xuf", "normal"])
+    p.add_argument("--init_range", type=float, default=d.init_range)
+
+    # semantics flags
+    p.add_argument("--with_system_act", action="store_true")
+    p.add_argument("--coverage", type=float, default=None)
+    p.add_argument("--add_l2_loss", action="store_true")
+    p.add_argument("--without_system_act", action="store_true")
+    p.add_argument("--add_segment_ids", action="store_true")
+
+    # TPU-native
+    p.add_argument("--compute_dtype", default=d.compute_dtype,
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--use_flash_attention", action="store_true")
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--n_model_parallel", type=int, default=1)
+    p.add_argument("--len_multiple", type=int, default=d.len_multiple)
+    p.add_argument("--memory_file", default=d.memory_file)
+    p.add_argument("--eval_batch", type=int, default=None)
+    p.add_argument("--checkpoint_every", type=int, default=0)
+    p.add_argument("--resume", default=None)
+
+    args = p.parse_args(argv)
+    opt = RunOptions(**vars(args))
+    return opt.resolve()

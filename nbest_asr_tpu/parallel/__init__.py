@@ -1,0 +1,11 @@
+from .mesh import make_mesh, param_shardings, batch_sharding
+from .train_step import TrainState, make_train_step, make_eval_step
+
+__all__ = [
+    "make_mesh",
+    "param_shardings",
+    "batch_sharding",
+    "TrainState",
+    "make_train_step",
+    "make_eval_step",
+]

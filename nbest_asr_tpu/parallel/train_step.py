@@ -1,0 +1,168 @@
+"""jit/pjit-compiled train & eval steps.
+
+This replaces the reference's per-batch Python hot loop
+(`n_best_asr_bert.py:232-294`): tokenization is gone (offline), the
+`.item()` loss syncs are gone (loss parts are traced scalars fetched once
+per epoch), the per-sample host decode is gone (vectorized in
+`train/decode.py`), and gradient accumulation is a `lax.scan` over
+microbatches inside one compiled step (replacing the reference's
+``n_accum_steps`` outer-loop bookkeeping, ref :266-280, :522).
+
+Gradient-accumulation semantics match the reference exactly: per-micro
+gradients are **summed** (torch ``.backward()`` accumulates; the losses are
+sum-reduced) and the optimizer steps once per ``n_accum`` microbatches.
+
+The dataset lives on device; each step receives only an (n_accum, micro_b)
+index array and gathers its microbatches on device — the per-step
+host->device traffic of the reference (`bert_xlnet_inputs.py:96,102`) drops
+to a few hundred bytes of indices.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.model import ModelConfig, model_forward
+from ..train.decode import decode_multihot
+from ..train.losses import LossConfig, total_loss
+from ..train.metrics import f1_counts_from_multihot
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+def _gather_micro(data: Dict[str, jnp.ndarray], idx: jnp.ndarray,
+                  mesh: Optional[Mesh]) -> Dict[str, jnp.ndarray]:
+    """Gather one microbatch by row index.  Index == n_rows is the padding
+    sentinel for fixed-shape partial batches: jnp.take clamps it onto the
+    last row and the derived ``example_mask`` zeroes that row out of the
+    loss and metrics."""
+    n_rows = next(iter(data.values())).shape[0]
+    micro = {k: jnp.take(v, idx, axis=0, mode="clip")
+             for k, v in data.items()}
+    micro["example_mask"] = (idx < n_rows).astype(jnp.float32)
+    if mesh is not None:
+        micro = {
+            k: jax.lax.with_sharding_constraint(
+                v, NamedSharding(mesh, P("data", *([None] * (v.ndim - 1)))))
+            for k, v in micro.items()
+        }
+    return micro
+
+
+def _forward_and_loss(params, cfg: ModelConfig, loss_cfg: LossConfig,
+                      hier, micro, *, deterministic, rng,
+                      dual_stream: bool):
+    top, probs, final, asr_cls, trans_cls = model_forward(
+        params, cfg, hier,
+        micro["input_ids"], micro["attn_mask"],
+        micro.get("segment_ids"),
+        trans_input_ids=micro["trans_input_ids"] if dual_stream else None,
+        trans_attn_mask=micro.get("trans_attn_mask") if dual_stream else None,
+        trans_token_type_ids=micro.get("trans_segment_ids")
+        if dual_stream else None,
+        deterministic=deterministic, rng=rng)
+    loss, parts = total_loss(
+        top, probs, final, micro["labels"], hier, loss_cfg,
+        asr_cls=asr_cls, trans_cls=trans_cls,
+        example_mask=micro.get("example_mask"))
+    return loss, (parts, top, probs)
+
+
+def make_train_step(cfg: ModelConfig, loss_cfg: LossConfig, optimizer,
+                    hier: Dict[str, jnp.ndarray], *, n_accum: int = 1,
+                    mesh: Optional[Mesh] = None, dual_stream: bool = True,
+                    donate: bool = True):
+    """Returns ``train_step(state, data, idx, rng) -> (state, stats)``.
+
+    - ``data``: device-resident dict of full-split arrays (input_ids,
+      attn_mask, segment_ids, trans_*, labels, example_mask).
+    - ``idx``: (n_accum, micro_b) int32 row indices for this step.
+    - ``stats``: loss parts (summed over micros) + f1 counter dict.
+    """
+
+    def train_step(state: TrainState, data, idx, rng):
+        def micro_grads(micro_idx_and_i):
+            micro_idx, i = micro_idx_and_i
+            micro = _gather_micro(data, micro_idx, mesh)
+            mrng = jax.random.fold_in(rng, i)
+
+            def loss_fn(p):
+                return _forward_and_loss(
+                    p, cfg, loss_cfg, hier, micro,
+                    deterministic=False, rng=mrng,
+                    dual_stream=dual_stream)
+
+            (loss, (parts, top, probs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            # train-time monitor (ref :283-288): decode from the training
+            # forward outputs
+            pred = decode_multihot(top, probs, hier)
+            counts = f1_counts_from_multihot(
+                pred, micro["labels"], micro.get("example_mask"))
+            return grads, parts, counts
+
+        def scan_body(carry, xs):
+            grads_acc, parts_acc, counts_acc = carry
+            micro_idx, i = xs
+            grads, parts, counts = micro_grads((micro_idx, i))
+            grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+            parts_acc = jax.tree.map(jnp.add, parts_acc, parts)
+            counts_acc = jax.tree.map(jnp.add, counts_acc, counts)
+            return (grads_acc, parts_acc, counts_acc), None
+
+        # init carry from the first micro, scan the rest (avoids a
+        # zeros-like pass over the full param tree)
+        first = micro_grads((idx[0], jnp.int32(0)))
+        if n_accum > 1:
+            (grads, parts, counts), _ = jax.lax.scan(
+                scan_body, first,
+                (idx[1:], jnp.arange(1, n_accum, dtype=jnp.int32)))
+        else:
+            grads, parts, counts = first
+
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1)
+        return new_state, {"loss": parts, "counts": counts}
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(train_step, donate_argnums=donate_argnums)
+
+
+def make_eval_step(cfg: ModelConfig, loss_cfg: LossConfig,
+                   hier: Dict[str, jnp.ndarray], *,
+                   mesh: Optional[Mesh] = None, dual_stream: bool = False):
+    """Returns ``eval_step(params, data, idx) -> stats``.
+
+    Eval never adds the MSE term (the reference computes eval loss without
+    hidden states, ref :331), so the transcript encoder pass is pure waste
+    there — ``dual_stream=False`` skips it with identical loss/metrics.
+    Returns the decoded multi-hot so the host can do string-exact F1 and
+    the per-utterance dumps at epoch end.
+    """
+    eval_loss_cfg = LossConfig(add_l2_loss=False)
+
+    def eval_step(params, data, idx):
+        micro = _gather_micro(data, idx, mesh)
+        loss, (parts, top, probs) = _forward_and_loss(
+            params, cfg, eval_loss_cfg, hier, micro,
+            deterministic=True, rng=jax.random.PRNGKey(0),
+            dual_stream=dual_stream)
+        pred = decode_multihot(top, probs, hier)
+        counts = f1_counts_from_multihot(
+            pred, micro["labels"], micro.get("example_mask"))
+        return {"loss": parts, "counts": counts, "pred": pred,
+                "top": top}
+
+    return jax.jit(eval_step)

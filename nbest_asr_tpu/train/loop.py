@@ -1,0 +1,424 @@
+"""Training/eval driver: the epoch loop, checkpointing, dumps, logging.
+
+Parity surface: `train` / `test` / `train_epoch` / `eval_epoch`
+(`n_best_asr_bert.py:232-473`) with the TPU-first restructure of
+SURVEY.md §7 step 7:
+
+- per-epoch: train -> eval(valid) -> eval(test), with [Train]/[Valid]/
+  [Test] metric lines in the reference's log format (ref :405-424);
+- per-utterance `valid.iter<i>[.err]` / `test.iter<i>[.err]` dumps in the
+  ``input \\t<=>\\t preds \\t<=>\\t golds`` format (ref :357-364, :409-419);
+- observability CSVs + per-label classification reports per split
+  (`utils/observability.py`);
+- best-valid-F1 checkpointing — but via Orbax with **optimizer state and
+  step included**, enabling mid-training resume the reference lacks
+  (SURVEY.md §5.4), plus a working `--testing` path (the reference's
+  crashes on a 4-vs-5 tuple unpack, ref :453 vs :386).
+
+Metric reporting: train-time F1/acc come from on-device counters (decoded
+inside the jitted step); eval F1/acc are host-computed from strings, which
+is exact reference semantics including OOV gold labels and the ontology
+filter.  Reported mean loss divides by the fixed micro-batch size (the
+reference divides each micro's loss by its actual row count, which differs
+only on the final partial batch — reporting-only delta, training math is
+identical).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RunOptions
+from ..data.input_builder import PackedSplit
+from ..data.vocab import Memory
+from ..models.heads import hierarchy_device_arrays
+from ..models.model import ModelConfig, init_model_params
+from ..parallel.mesh import make_mesh, param_shardings
+from ..parallel.train_step import (TrainState, make_eval_step,
+                                   make_train_step)
+from ..train.losses import LossConfig
+from ..train.metrics import compute_f1, host_eval_metrics
+from ..train.optimizer import OptimizerConfig, make_optimizer
+from ..utils.logging import make_logger
+from ..utils.observability import EpochInfo, observability_lens
+
+
+def _device_data(packed: PackedSplit, *, use_asr_segments: bool,
+                 use_trans_segments: bool) -> Dict[str, jnp.ndarray]:
+    """PackedSplit -> device-resident dict.  Segment streams the layout
+    doesn't use are zeros (== token type 0, identical to passing None).
+    Quirk preserved: the reference drops ASR segment ids unless
+    ``--add_segment_ids`` but always passes transcript segment ids
+    (`n_best_asr_bert.py:252-255`)."""
+    segs = packed.segment_ids if use_asr_segments else \
+        np.zeros_like(packed.segment_ids)
+    tsegs = packed.trans_segment_ids if use_trans_segments else \
+        np.zeros_like(packed.trans_segment_ids)
+    return {
+        "input_ids": jnp.asarray(packed.input_ids),
+        "attn_mask": jnp.asarray(packed.attn_mask),
+        "segment_ids": jnp.asarray(segs),
+        "trans_input_ids": jnp.asarray(packed.trans_input_ids),
+        "trans_attn_mask": jnp.asarray(packed.trans_attn_mask),
+        "trans_segment_ids": jnp.asarray(tsegs),
+        "labels": jnp.asarray(packed.labels),
+    }
+
+
+def _epoch_step_indices(n: int, micro_b: int, n_accum: int,
+                        perm: np.ndarray) -> np.ndarray:
+    """Shuffled row order -> (n_steps, n_accum, micro_b) index tensor.
+
+    Chunks of ``micro_b`` follow the permutation; the final short chunk is
+    padded with the sentinel ``n`` (masked on device).  Only full groups of
+    ``n_accum`` micros step the optimizer — trailing micros are dropped,
+    matching the reference where their accumulated grads are zeroed without
+    ever stepping (ref :236, :266-280)."""
+    n_micro = -(-n // micro_b)
+    padded = np.full((n_micro * micro_b,), n, dtype=np.int32)
+    padded[:n] = perm.astype(np.int32)
+    micros = padded.reshape(n_micro, micro_b)
+    n_steps = n_micro // n_accum
+    if n_steps == 0:
+        raise ValueError(
+            f"dataset too small: {n_micro} microbatches < n_accum={n_accum}")
+    return micros[: n_steps * n_accum].reshape(n_steps, n_accum, micro_b)
+
+
+@dataclass
+class EpochMetrics:
+    mean_loss: float
+    precision: float
+    recall: float
+    f1: float
+    acc: float
+
+
+class Trainer:
+    """Owns the compiled steps, device data, optimizer state, and the
+    epoch driver."""
+
+    def __init__(self, opt: RunOptions, memory: Memory,
+                 model_cfg: ModelConfig, params: dict,
+                 packed: Dict[str, PackedSplit],
+                 mesh=None, logger=None, family: Optional[str] = None):
+        self.opt = opt
+        self.memory = memory
+        self.cfg = model_cfg
+        self.packed = packed
+        self.family = family or (opt.pre_trained_model or "bert")
+        self.mesh = mesh if mesh is not None else make_mesh(
+            n_model=opt.n_model_parallel)
+        self.logger = logger
+        self.hier = hierarchy_device_arrays(memory.arrays())
+
+        n_train = len(packed["train"]) if "train" in packed else 1
+        t_total = (n_train // opt.batchSize + 1) * opt.max_epoch  # ref :556
+        self.opt_cfg = OptimizerConfig(
+            optim_choice=opt.optim_choice, lr=opt.lr, bert_lr=opt.bert_lr,
+            warmup_proportion=opt.warmup_proportion, t_total=t_total,
+            max_grad_norm=1.0 if opt.optim_choice == "bertadam"
+            else opt.max_norm,
+            l2=opt.l2)
+        self.optimizer = make_optimizer(self.opt_cfg, params)
+
+        # segment-id routing (see _device_data docstring)
+        is_xlmr = self.family == "xlm-roberta"
+        use_asr_segs = opt.add_segment_ids and not is_xlmr
+        use_trans_segs = not is_xlmr
+        self.data = {
+            name: _device_data(p, use_asr_segments=use_asr_segs,
+                               use_trans_segments=use_trans_segs)
+            for name, p in packed.items()
+        }
+
+        loss_cfg = LossConfig(add_l2_loss=opt.add_l2_loss)
+        self.train_step = make_train_step(
+            model_cfg, loss_cfg, self.optimizer, self.hier,
+            n_accum=opt.n_accum_steps, mesh=self.mesh,
+            dual_stream=True)
+        self.eval_step = make_eval_step(
+            model_cfg, loss_cfg, self.hier, mesh=self.mesh,
+            dual_stream=False)
+
+        # initial state (sharded params when tensor-parallel)
+        shardings = param_shardings(params, self.mesh,
+                                    tensor_parallel=opt.n_model_parallel > 1)
+        params = jax.device_put(params, shardings)
+        self.state = TrainState(
+            params=params,
+            opt_state=self.optimizer.init(params),
+            step=jnp.zeros([], jnp.int32),
+        )
+        self._rng = jax.random.PRNGKey(opt.random_seed)
+        self._shuffle_rng = np.random.RandomState(opt.random_seed)
+
+    # ------------------------------------------------------------------ #
+    # epochs
+    # ------------------------------------------------------------------ #
+
+    def run_train_epoch(self) -> EpochMetrics:
+        opt = self.opt
+        data = self.data["train"]
+        n = len(self.packed["train"])
+        perm = self._shuffle_rng.permutation(n)
+        idx = _epoch_step_indices(n, opt.micro_batch, opt.n_accum_steps,
+                                  perm)
+        stats_acc = None
+        for s in range(idx.shape[0]):
+            self._rng, step_rng = jax.random.split(self._rng)
+            self.state, stats = self.train_step(
+                self.state, data, jnp.asarray(idx[s]), step_rng)
+            stats_acc = stats if stats_acc is None else jax.tree.map(
+                jnp.add, stats_acc, stats)
+        stats = jax.device_get(stats_acc)
+        n_micros = idx.shape[0] * opt.n_accum_steps
+        return self._metrics_from_counts(stats, n_micros * opt.micro_batch)
+
+    def run_eval_epoch(self, split: str, epoch: int = 0,
+                       dump_prefix: Optional[str] = None
+                       ) -> tuple[EpochMetrics, EpochInfo]:
+        opt = self.opt
+        data = self.data[split]
+        packed = self.packed[split]
+        n = len(packed)
+        eval_b = opt.eval_batch or opt.micro_batch
+        n_batches = -(-n // eval_b)
+        padded = np.full((n_batches * eval_b,), n, dtype=np.int32)
+        padded[:n] = np.arange(n, dtype=np.int32)
+
+        preds = []
+        loss_sum = 0.0
+        for bidx in padded.reshape(n_batches, eval_b):
+            out = self.eval_step(self.state.params, data,
+                                 jnp.asarray(bidx))
+            preds.append(out["pred"])
+            loss_sum += float(out["loss"]["total"])
+        pred_mh = np.concatenate([np.asarray(p) for p in preds])[:n]
+
+        (p, r, f), acc, pred_strings, golds = host_eval_metrics(
+            pred_mh, packed.raw_labels, self.memory.idx2label,
+            ontology=opt.ontology)
+        mean_loss = loss_sum / max(n_batches, 1) / eval_b
+
+        raw_inputs = [" ".join(s) for s in packed.raw_asr]
+        matches = [set(pc) == set(g) for pc, g in
+                   zip(pred_strings, golds)]
+        info = EpochInfo(raw_inputs, pred_strings, golds, matches,
+                         mean_loss, p, r, f, acc)
+
+        if dump_prefix is not None:
+            self._write_dumps(dump_prefix, packed, pred_strings, golds)
+
+        return EpochMetrics(mean_loss, p, r, f, acc), info
+
+    def _write_dumps(self, prefix: str, packed: PackedSplit,
+                     preds: List[List[str]], golds: List[List[str]]
+                     ) -> None:
+        """`input \\t<=>\\t preds \\t<=>\\t golds` per line; errors also to
+        the .err file (ref :357-364)."""
+        with open(prefix, "w") as fp, open(prefix + ".err", "w") as efp:
+            for raw, pc, gold in zip(packed.raw_asr, preds, golds):
+                line = "%s\t<=>\t%s\t<=>\t%s\n" % (
+                    " ".join(raw), ";".join(pc), ";".join(gold))
+                fp.write(line)
+                if set(pc) != set(gold):
+                    efp.write(line)
+
+    def _metrics_from_counts(self, stats, n_rows: int) -> EpochMetrics:
+        c = stats["counts"]
+        p, r, f = compute_f1(float(c["tp"]), float(c["fp"]),
+                             float(c["fn"]))
+        total = max(float(c["total"]), 1.0)
+        acc = float(c["correct"]) / total * 100
+        mean_loss = float(stats["loss"]["total"]) / max(n_rows, 1)
+        return EpochMetrics(mean_loss, p, r, f, acc)
+
+    # ------------------------------------------------------------------ #
+    # checkpointing (Orbax)
+    # ------------------------------------------------------------------ #
+
+    def save_checkpoint(self, path: str) -> None:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(path)
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(path, {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+        }, force=True)
+
+    def load_checkpoint(self, path: str) -> None:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(path)
+        ckptr = ocp.PyTreeCheckpointer()
+        template = {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+        }
+        restored = ckptr.restore(path, item=template)
+        self.state = TrainState(params=restored["params"],
+                                opt_state=restored["opt_state"],
+                                step=restored["step"])
+
+    # ------------------------------------------------------------------ #
+    # full drivers
+    # ------------------------------------------------------------------ #
+
+    def train(self) -> Dict[str, float]:
+        opt = self.opt
+        os.makedirs(opt.exp_dir, exist_ok=True)
+        logger = self.logger or make_logger(
+            os.path.join(opt.exp_dir, "log.train"))
+        logger.info("Training starts at %s" % time.asctime())
+        csv_name = "tod_asr_bert_stc"
+
+        best = {"epoch": 0, "vf": 0.0, "tef": 0.0, "v_acc": 0.0,
+                "te_acc": 0.0}
+        has_test = "test" in self.data
+
+        for i in range(opt.max_epoch):
+            t0 = time.time()
+            tr = self.run_train_epoch()
+            logger.info(
+                "[Train]\tEpoch: %02d\tTime: %.2f\tLoss: %.2f\t"
+                "(p/r/f): (%.2f/%.2f/%.2f)\tAcc: %.2f" %
+                (i, time.time() - t0, tr.mean_loss, tr.precision,
+                 tr.recall, tr.f1, tr.acc))
+
+            t0 = time.time()
+            vm, v_info = self.run_eval_epoch(
+                "valid", i,
+                dump_prefix=os.path.join(opt.exp_dir, f"valid.iter{i}"))
+            logger.info(
+                "[Valid]\tEpoch: %02d\tTime: %.2f\tLoss: %.2f\t"
+                "(p/r/f): (%.2f/%.2f/%.2f)\tAcc: %.2f" %
+                (i, time.time() - t0, vm.mean_loss, vm.precision,
+                 vm.recall, vm.f1, vm.acc))
+            observability_lens(v_info, i, "valid", opt.exp_dir, csv_name)
+
+            tem = EpochMetrics(0, 0, 0, 0, 0)
+            if has_test:
+                t0 = time.time()
+                tem, te_info = self.run_eval_epoch(
+                    "test", i,
+                    dump_prefix=os.path.join(opt.exp_dir, f"test.iter{i}"))
+                logger.info(
+                    "[Test]\tEpoch: %02d\tTime: %.2f\tLoss: %.2f\t"
+                    "(p/r/f): (%.2f/%.2f/%.2f)\tAcc: %.2f" %
+                    (i, time.time() - t0, tem.mean_loss, tem.precision,
+                     tem.recall, tem.f1, tem.acc))
+                observability_lens(te_info, i, "test", opt.exp_dir,
+                                   csv_name)
+
+            if vm.f1 > best["vf"]:
+                best.update(epoch=i, vf=vm.f1, tef=tem.f1, v_acc=vm.acc,
+                            te_acc=tem.acc)
+                self.save_checkpoint(os.path.join(opt.exp_dir, "model.ckpt"))
+                logger.info(
+                    "NEW BEST:\tEpoch: %02d\tvalid F1/Acc: %.2f/%.2f\t"
+                    "test F1/Acc: %.2f/%.2f" %
+                    (i, vm.f1, vm.acc, tem.f1, tem.acc))
+
+            if opt.checkpoint_every and (i + 1) % opt.checkpoint_every == 0:
+                self.save_checkpoint(
+                    os.path.join(opt.exp_dir, f"ckpt_epoch{i}"))
+
+        logger.info(
+            "BEST RESULT:\tEpoch: %02d\tBest valid F1/Acc: %.2f/%.2f\t"
+            "test F1/Acc: %.2f/%.2f" %
+            (best["epoch"], best["vf"], best["v_acc"], best["tef"],
+             best["te_acc"]))
+        with open(os.path.join(opt.exp_dir, "best.json"), "w") as fp:
+            json.dump(best, fp)
+        return best
+
+    def test(self) -> Dict[str, EpochMetrics]:
+        """Working `--testing` mode (the reference's crashes, ref :453):
+        loads the best checkpoint and evaluates all available splits."""
+        opt = self.opt
+        logger = self.logger or make_logger(
+            os.path.join(opt.exp_dir, "log.test"))
+        ckpt = os.path.join(opt.exp_dir, "model.ckpt")
+        if os.path.exists(ckpt):
+            self.load_checkpoint(ckpt)
+        results = {}
+        for split in self.data:
+            t0 = time.time()
+            m, _ = self.run_eval_epoch(
+                split, 0,
+                dump_prefix=os.path.join(opt.exp_dir, f"{split}.eval"))
+            logger.info(
+                "[%s]\tTime: %.2f\tLoss: %.2f\t(p/r/f): "
+                "(%.2f/%.2f/%.2f)\tAcc: %.2f" %
+                (split.capitalize(), time.time() - t0, m.mean_loss,
+                 m.precision, m.recall, m.f1, m.acc))
+            results[split] = m
+        return results
+
+
+# --------------------------------------------------------------------- #
+# model/config resolution
+# --------------------------------------------------------------------- #
+
+def build_model(opt: RunOptions, memory: Memory, tokenizer):
+    """Resolve encoder config + initial params per the reference's
+    pretrained-model registry semantics (`n_best_asr_bert.py:33-37,
+    480-487`), falling back to from-scratch init when no local checkpoint
+    exists (this environment has no network)."""
+    from ..models.encoder import EncoderConfig
+    from ..models.hf_convert import load_pretrained_encoder
+
+    hf_names = {
+        "bert": "bert-base-uncased",
+        "roberta": "roberta-base",
+        "xlm-roberta": "xlm-roberta-base",
+    }
+    enc_cfg = None
+    enc_params = None
+    common = dict(
+        hidden_dropout=opt.bert_dropout, attn_dropout=opt.bert_dropout,
+        compute_dtype=opt.compute_dtype,
+        use_flash_attention=opt.use_flash_attention, remat=opt.remat)
+
+    name = opt.tod_pre_trained_model or hf_names.get(
+        opt.pre_trained_model or "")
+    if name:
+        try:
+            enc_cfg, enc_params = load_pretrained_encoder(name, **common)
+        except Exception:
+            enc_cfg = None
+
+    if enc_cfg is None:
+        # from-scratch: word-vocab tokenizer sizes the embedding; the
+        # reference hardcodes fea_dim=768 (`models/model.py:30`) but we
+        # honor the CLI structure flags for from-scratch runs
+        enc_cfg = EncoderConfig(
+            vocab_size=tokenizer.vocab_size,
+            hidden_size=768,
+            num_layers=opt.n_layers,
+            num_heads=max(opt.n_head, 4),
+            intermediate_size=3072,
+            max_position=512,
+            position_offset=0,
+            **common)
+
+    n_top, n_bottom = memory.n_top, memory.n_bottom
+    cfg = ModelConfig(encoder=enc_cfg, n_top=n_top, n_bottom=n_bottom,
+                      head_dropout=opt.dropout)
+    rng = jax.random.PRNGKey(opt.random_seed)
+    params = init_model_params(rng, cfg)
+    if enc_params is not None:
+        params["encoder"] = jax.tree.map(jnp.asarray, enc_params)
+    return cfg, params
