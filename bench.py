@@ -34,6 +34,10 @@ WARMUP = 5
 
 def main() -> None:
     import jax
+
+    # rbg PRNG makes attention-prob dropout ~free on TPU (threefry costs
+    # ~20% of the step); same default the CLI trainer uses
+    jax.config.update("jax_default_prng_impl", "rbg")
     import jax.numpy as jnp
 
     from nbest_asr_tpu.data.vocab import Memory

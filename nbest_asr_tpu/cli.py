@@ -66,6 +66,10 @@ def prepare_packed_splits(opt: RunOptions, memory: Memory, tokenizer):
 def main(argv=None) -> int:
     opt = parse_arguments(argv)
 
+    import jax
+
+    jax.config.update("jax_default_prng_impl", opt.prng_impl)
+
     # global seeding (ref :128-133)
     random.seed(opt.random_seed)
     np.random.seed(opt.random_seed)

@@ -75,6 +75,9 @@ class RunOptions:
 
     # ------------- TPU-native additions ------------------------------- #
     compute_dtype: str = "float32"        # bfloat16 for the TPU hot path
+    prng_impl: str = "rbg"                # dropout-mask PRNG; "rbg" makes
+    # attention-prob dropout ~free on TPU (threefry costs ~20% of the
+    # train step at BERT-base/seq-256; measured on v5e)
     use_flash_attention: bool = False
     remat: bool = False
     n_model_parallel: int = 1             # tensor-parallel mesh axis
@@ -181,6 +184,8 @@ def parse_arguments(argv=None) -> RunOptions:
     # TPU-native
     p.add_argument("--compute_dtype", default=d.compute_dtype,
                    choices=["float32", "bfloat16"])
+    p.add_argument("--prng_impl", default=d.prng_impl,
+                   choices=["rbg", "unsafe_rbg", "threefry2x32"])
     p.add_argument("--use_flash_attention", action="store_true")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--n_model_parallel", type=int, default=1)

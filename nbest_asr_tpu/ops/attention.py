@@ -28,8 +28,8 @@ def multi_head_attention(
     use_flash: bool = False,
 ) -> jnp.ndarray:
     """Returns (b, s, n_heads, d_head)."""
-    if use_flash and deterministic:
-        # attention-prob dropout is incompatible with the flash kernel;
+    if use_flash and (deterministic or dropout_rate == 0.0):
+        # attention-prob dropout is not implemented in the flash kernel;
         # callers fall back to the XLA path while training with dropout > 0.
         from .flash_attention import flash_attention
 

@@ -1,0 +1,66 @@
+"""Flash-attention kernel equivalence vs the XLA oracle, in Pallas
+interpret mode on CPU (forward and gradients, padded/ragged masks,
+non-multiple-of-128 sequence lengths)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from nbest_asr_tpu.ops.attention import multi_head_attention
+from nbest_asr_tpu.ops.flash_attention import flash_attention
+
+
+def _random_qkv(b=2, s=256, h=4, d=64, seed=0, dtype=jnp.float32):
+    rng = np.random.RandomState(seed)
+    def mk():
+        return jnp.asarray(rng.randn(b, s, h, d).astype(np.float32),
+                           dtype)
+    q, k, v = mk(), mk(), mk()
+    lens = rng.randint(s // 4, s + 1, (b,))
+    mask = (np.arange(s)[None, :] < lens[:, None]).astype(np.float32)
+    return q, k, v, jnp.asarray(mask)
+
+
+@pytest.mark.parametrize("s", [256, 200])
+def test_forward_matches_xla(s):
+    q, k, v, mask = _random_qkv(s=s)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v, mask)
+    ref = multi_head_attention(q, k, v, mask)
+    m = np.asarray(mask).astype(bool)
+    np.testing.assert_allclose(np.asarray(out)[m], np.asarray(ref)[m],
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_gradients_match_xla():
+    q, k, v, mask = _random_qkv(s=128, b=2, h=2)
+
+    def loss_flash(q, k, v):
+        out = flash_attention(q, k, v, mask)
+        return jnp.sum(out * out * mask[:, :, None, None])
+
+    def loss_ref(q, k, v):
+        out = multi_head_attention(q, k, v, mask)
+        return jnp.sum(out * out * mask[:, :, None, None])
+
+    with pltpu.force_tpu_interpret_mode():
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=5e-4, rtol=1e-3,
+                                   err_msg=f"d{name}")
+
+
+def test_bf16_inputs():
+    q, k, v, mask = _random_qkv(s=128, dtype=jnp.bfloat16)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v, mask)
+    ref = multi_head_attention(q, k, v, mask)
+    m = np.asarray(mask).astype(bool)
+    diff = np.abs(np.asarray(out, np.float32)[m]
+                  - np.asarray(ref, np.float32)[m])
+    assert diff.max() < 0.05  # bf16 tolerance
