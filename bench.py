@@ -1,17 +1,16 @@
 """Benchmark: DSTC2 fine-tune throughput (utterances/sec/chip).
 
-Measures the full jitted training step on the flagship configuration —
-BERT-base-sized encoder (12L/768H/12 heads), hierarchical head over the
-real DSTC2 hierarchy (30 top / 161 bottom labels), BertAdam update,
-on-device decode+metrics — at the reference's canonical effective batch 16
-(`run/train_eval_N_Best_ASR_Transformer_STC.sh:33`) scaled to the
-TPU-friendly batch below, seq 256 (covers DSTC2's p95 ≈ 200 subwords,
-SURVEY.md §2.2), bf16 compute.
+Measures a real training epoch through the actual Trainer on the shipped
+DSTC2 valid shard (3,560 utterances): offline-packed inputs, length
+bucketing, jitted train step (BERT-base-sized encoder 12L/768H/12 heads,
+hierarchical head over the real 30/161 label hierarchy, BertAdam update,
+on-device metrics), bf16 compute, rbg dropout PRNG — the configuration a
+`--compute_dtype bfloat16 --length_buckets 96,160,256` CLI run uses.
 
 Baseline: the reference publishes no throughput numbers (SURVEY.md §6).
-BASELINE.md's target is >=10x the reference single-GPU fine-tune rate.
-We use an estimated 40 utt/s for the reference run (BERT-base fwd+bwd,
-batch 16, seq ~200, dual encoder pass + per-step CPU tokenization +
+BASELINE.md's target is >=10x the reference single-GPU fine-tune rate.  We
+use an estimated 40 utt/s for the reference (BERT-base fwd+bwd, batch 16,
+per-batch-max padding, dual encoder pass, per-step CPU tokenization and
 per-term .item() syncs on a V100-class GPU) and report
 ``vs_baseline = measured / 40``.
 
@@ -21,108 +20,108 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
 BASELINE_UTT_PER_SEC = 40.0
-BATCH = 32
-SEQ = 256
-STEPS = 30
-WARMUP = 5
+REF_RAW = "/root/reference/dstc2_data/processed_data/raw"
+
+
+def _real_packed(memory, tok):
+    from nbest_asr_tpu.data.dataset import read_sep_data
+    from nbest_asr_tpu.data.input_builder import pack_split
+
+    split = read_sep_data(os.path.join(REF_RAW, "valid"))
+    return pack_split(split, tok, memory, max_len=256)
+
+
+def _synthetic_packed(memory, tok, n=3560):
+    """Fallback when the reference shard is absent: DSTC2-like lengths."""
+    from nbest_asr_tpu.data.dataset import RawSplit
+    from nbest_asr_tpu.data.input_builder import pack_split
+
+    rng = np.random.RandomState(0)
+    words = [w for w in list(tok.vocab)[8:200]]
+    rows, trans, labels = [], [], []
+    label_names = [memory.idx2label[i] for i in range(2, memory.n_bottom)]
+    for _ in range(n):
+        L = int(np.clip(rng.lognormal(4.1, 0.45), 12, 220))
+        sys_part = [words[i % len(words)] for i in rng.randint(
+            0, len(words), max(4, L // 6))]
+        usr_part = [words[i % len(words)] for i in rng.randint(
+            0, len(words), L)]
+        rows.append(["[CLS]", "[SYS]"] + sys_part + ["[USR]"] + usr_part)
+        trans.append(["[CLS]", "[SYS]"] + sys_part + ["[USR]"]
+                     + usr_part[: max(4, L // 3)])
+        labels.append([label_names[rng.randint(len(label_names))]])
+    return pack_split(RawSplit(rows, trans, labels), tok, memory,
+                      max_len=256)
 
 
 def main() -> None:
     import jax
 
-    # rbg PRNG makes attention-prob dropout ~free on TPU (threefry costs
-    # ~20% of the step); same default the CLI trainer uses
     jax.config.update("jax_default_prng_impl", "rbg")
-    import jax.numpy as jnp
+    # persistent compile cache: the per-bucket train-step compiles are
+    # ~2min each through the remote TPU compiler on first run, ~1s cached
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    from nbest_asr_tpu.config import RunOptions
+    from nbest_asr_tpu.data.tokenizer import WordVocabTokenizer
     from nbest_asr_tpu.data.vocab import Memory
     from nbest_asr_tpu.models.encoder import EncoderConfig
-    from nbest_asr_tpu.models.heads import hierarchy_device_arrays
     from nbest_asr_tpu.models.model import ModelConfig, init_model_params
-    from nbest_asr_tpu.parallel.mesh import make_mesh
-    from nbest_asr_tpu.parallel.train_step import (TrainState,
-                                                   make_train_step)
-    from nbest_asr_tpu.train.losses import LossConfig
-    from nbest_asr_tpu.train.optimizer import (OptimizerConfig,
-                                               make_optimizer)
+    from nbest_asr_tpu.train.loop import Trainer
 
-    # real DSTC2 hierarchy when the reference bundle is present
-    import os
-    ref_mem = "/root/reference/dstc2_data/processed_data/raw/memory.pt"
-    if os.path.exists(ref_mem):
-        memory = Memory.from_torch_pt(ref_mem)
+    mem_pt = os.path.join(REF_RAW, "memory.pt")
+    if os.path.exists(mem_pt):
+        memory = Memory.from_torch_pt(mem_pt)
     else:
         from nbest_asr_tpu.data.etl import build_memory
 
-        memory = build_memory(["x"], ["inform-food-chinese", "thankyou",
-                                      "request-phone"], [])
-    hier = hierarchy_device_arrays(memory.arrays())
+        memory = build_memory(
+            ["x"], ["inform-food-chinese", "inform-food-indian",
+                    "thankyou", "request-phone"], [])
+    tok = WordVocabTokenizer(memory)
 
-    enc = EncoderConfig.bert_base(vocab_size=30522,
-                                  compute_dtype="bfloat16",
-                                  hidden_dropout=0.1, attn_dropout=0.1)
+    if os.path.exists(os.path.join(REF_RAW, "valid")):
+        packed = _real_packed(memory, tok)
+    else:
+        packed = _synthetic_packed(memory, tok)
+
+    opt = RunOptions(
+        dataset="dstc2", dataroot="bench", batchSize=32,
+        max_epoch=50, optim_choice="bertadam", lr=3e-5, bert_lr=3e-5,
+        bert_dropout=0.1, compute_dtype="bfloat16",
+        length_buckets="96,160,256", experiment="/tmp/bench_exp")
+    opt.exp_dir = "/tmp/bench_exp"
+
+    # BERT-base-sized encoder; the word-vocab ids index a 30522 table so
+    # the embedding/grad cost matches a real bert-base-uncased fine-tune
+    enc = EncoderConfig.bert_base(
+        vocab_size=30522, compute_dtype="bfloat16",
+        hidden_dropout=opt.bert_dropout, attn_dropout=opt.bert_dropout)
     cfg = ModelConfig(encoder=enc, n_top=memory.n_top,
                       n_bottom=memory.n_bottom)
     params = init_model_params(jax.random.PRNGKey(0), cfg)
 
-    n_train = 10000
-    opt_cfg = OptimizerConfig(optim_choice="bertadam", lr=3e-5,
-                              bert_lr=3e-5, warmup_proportion=0.1,
-                              t_total=(n_train // BATCH + 1) * 50)
-    optimizer = make_optimizer(opt_cfg, params)
+    trainer = Trainer(opt, memory, cfg, params, {"train": packed})
 
-    mesh = make_mesh()  # all local devices (1 real chip under the driver)
-    n_chips = int(np.prod(mesh.devices.shape))
+    n_chips = int(np.prod(trainer.mesh.devices.shape))
 
-    rng = np.random.RandomState(0)
-    n_rows = 4096
-    data = {
-        "input_ids": jnp.asarray(rng.randint(1, 30522, (n_rows, SEQ)),
-                                 jnp.int32),
-        "attn_mask": jnp.asarray(
-            (np.arange(SEQ)[None, :]
-             < rng.randint(64, SEQ, (n_rows, 1))).astype(np.float32)),
-        "segment_ids": jnp.zeros((n_rows, SEQ), jnp.int32),
-        "trans_input_ids": jnp.asarray(
-            rng.randint(1, 30522, (n_rows, SEQ)), jnp.int32),
-        "trans_attn_mask": jnp.ones((n_rows, SEQ), jnp.float32),
-        "trans_segment_ids": jnp.zeros((n_rows, SEQ), jnp.int32),
-        "labels": jnp.asarray(
-            (rng.rand(n_rows, memory.n_bottom) < 0.01).astype(np.float32)),
-    }
-
-    train_step = make_train_step(
-        cfg, LossConfig(add_l2_loss=False), optimizer, hier,
-        n_accum=1, mesh=mesh, dual_stream=True, donate=True)
-
-    state = TrainState(params=params, opt_state=optimizer.init(params),
-                       step=jnp.zeros([], jnp.int32))
-
-    def step_indices(s):
-        start = (s * BATCH) % (n_rows - BATCH)
-        return jnp.asarray(
-            np.arange(start, start + BATCH, dtype=np.int32)
-            .reshape(1, BATCH))
-
-    key = jax.random.PRNGKey(0)
-    for s in range(WARMUP):
-        key, k = jax.random.split(key)
-        state, stats = train_step(state, data, step_indices(s), k)
-    jax.block_until_ready(stats)
-
+    trainer.run_train_epoch()          # warmup epoch: compiles per bucket
     t0 = time.perf_counter()
-    for s in range(STEPS):
-        key, k = jax.random.split(key)
-        state, stats = train_step(state, data, step_indices(s), k)
-    jax.block_until_ready(stats)
+    m = trainer.run_train_epoch()      # timed epoch
     dt = time.perf_counter() - t0
 
-    utt_per_sec = BATCH * STEPS / dt / n_chips
+    n_utts = len(packed)               # epoch consumes ~all rows
+    utt_per_sec = n_utts / dt / n_chips
+    assert np.isfinite(m.mean_loss)
     print(json.dumps({
         "metric": "dstc2_finetune_throughput",
         "value": round(utt_per_sec, 2),

@@ -32,6 +32,19 @@ def resolve_memory(opt: RunOptions) -> Memory:
 
 
 def prepare_packed_splits(opt: RunOptions, memory: Memory, tokenizer):
+    """Read + coverage-sample + tokenize + pack all splits with one shared
+    static max_len.  Uses the native (C++) loader for the word-vocab
+    tokenizer when built (`native/nbest_loader.cpp`); the Python packer is
+    the oracle and fallback."""
+    from .data.tokenizer import WordVocabTokenizer
+
+    use_native = opt.native_loader and isinstance(
+        tokenizer, WordVocabTokenizer)
+    if use_native:
+        from .data.native_loader import native_available
+
+        use_native = native_available()
+
     splits = {}
     raw = {}
     paths = {
@@ -39,27 +52,50 @@ def prepare_packed_splits(opt: RunOptions, memory: Memory, tokenizer):
         "valid": os.path.join(opt.dataroot, opt.valid_file),
         "test": os.path.join(opt.dataroot, opt.test_file),
     }
-    for name, path in paths.items():
+
+    def pack(name, max_len):
+        if use_native:
+            from .data.native_loader import pack_file_native
+
+            return pack_file_native(paths[name], memory, tokenizer,
+                                    layout=opt.layout, max_len=max_len,
+                                    len_multiple=opt.len_multiple)
+        return pack_split(raw[name], tokenizer, memory,
+                          layout=opt.layout, max_len=max_len,
+                          len_multiple=opt.len_multiple)
+
+    for name, path in list(paths.items()):
         if not os.path.exists(path):
+            paths.pop(name)
             continue  # tolerate missing shards (e.g. stripped test set)
         coverage = opt.coverage if name == "train" else None  # ref :524-526
-        raw[name] = read_sep_data(path, coverage)
+        if coverage and use_native:
+            # coverage sampling stays in Python (pandas seed-42 parity);
+            # write the sampled rows to a temp shard for the native packer
+            import tempfile
+
+            sampled = read_sep_data(path, coverage)
+            tmp = tempfile.NamedTemporaryFile(
+                "w", delete=False, suffix=".shard")
+            for a, t, l in zip(sampled.asr_seqs, sampled.trans_seqs,
+                               sampled.labels):
+                tmp.write("%s\t<=>\t%s\t<=>\t%s\n" % (
+                    " ".join(a), " ".join(t), ";".join(l)))
+            tmp.close()
+            paths[name] = tmp.name
+        elif not use_native:
+            raw[name] = read_sep_data(path, coverage)
 
     # one static max_len across splits so every step shares a compilation
     max_len = opt.max_seq_len
-    for name, split in raw.items():
-        splits[name] = pack_split(split, tokenizer, memory,
-                                  layout=opt.layout, max_len=max_len,
-                                  len_multiple=opt.len_multiple)
+    for name in paths:
+        splits[name] = pack(name, max_len)
     if max_len is None and splits:
         # unify to the largest packed length, re-pack the shorter ones
         target = max(p.max_len for p in splits.values())
         for name, packed in list(splits.items()):
             if packed.max_len != target:
-                splits[name] = pack_split(raw[name], tokenizer, memory,
-                                          layout=opt.layout,
-                                          max_len=target,
-                                          len_multiple=opt.len_multiple)
+                splits[name] = pack(name, target)
     return splits
 
 
@@ -69,6 +105,10 @@ def main(argv=None) -> int:
     import jax
 
     jax.config.update("jax_default_prng_impl", opt.prng_impl)
+    cache_dir = os.environ.get("NBEST_ASR_TPU_CACHE",
+                               os.path.expanduser("~/.nbest_asr_tpu_cache"))
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     # global seeding (ref :128-133)
     random.seed(opt.random_seed)

@@ -82,7 +82,12 @@ class RunOptions:
     remat: bool = False
     n_model_parallel: int = 1             # tensor-parallel mesh axis
     len_multiple: int = 8                 # pad lengths to this multiple
+    length_buckets: str = ""              # e.g. "128,192,256": group rows
+    # by length into per-bucket fixed shapes (one compile per bucket);
+    # batches are drawn within a bucket, step order shuffled — trades the
+    # reference's fully-iid batch order for ~2x less padding compute
     memory_file: str = "memory.json"      # memory.pt also accepted
+    native_loader: bool = True            # C++ shard loader when built
     eval_batch: Optional[int] = None      # defaults to the train micro_b
     checkpoint_every: int = 0             # extra periodic ckpt (epochs)
     resume: Optional[str] = None          # checkpoint dir to resume from
@@ -190,7 +195,11 @@ def parse_arguments(argv=None) -> RunOptions:
     p.add_argument("--remat", action="store_true")
     p.add_argument("--n_model_parallel", type=int, default=1)
     p.add_argument("--len_multiple", type=int, default=d.len_multiple)
+    p.add_argument("--length_buckets", default=d.length_buckets)
     p.add_argument("--memory_file", default=d.memory_file)
+    p.add_argument("--no_native_loader", dest="native_loader",
+                   action="store_false")
+    p.set_defaults(native_loader=True)
     p.add_argument("--eval_batch", type=int, default=None)
     p.add_argument("--checkpoint_every", type=int, default=0)
     p.add_argument("--resume", default=None)

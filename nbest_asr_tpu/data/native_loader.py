@@ -1,0 +1,161 @@
+"""ctypes bindings for the native (C++) shard loader/packer.
+
+`native/nbest_loader.cpp` implements the offline tokenize+layout+pack pass
+(the work the reference does in Python *per batch per epoch*,
+`utils/bert_xlnet_inputs.py` / `n_best_asr_bert.py:249-250`) as a shared
+library.  The Python word-vocab path (`input_builder.pack_split`) remains
+the correctness oracle and the fallback when no C++ toolchain exists; a
+parity test pins the two together.
+
+Scope: word-vocab tokenization only (HF subword tokenizers stay in Python
+— they are run offline exactly once, so they are not hot).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+from typing import Optional
+
+import numpy as np
+
+from .input_builder import PackedSplit, round_up
+from .tokenizer import WordVocabTokenizer
+from .vocab import Memory
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO, "native", "nbest_loader.cpp")
+_LAYOUTS = {"default": 0, "no_system_act": 1, "tod": 2}
+
+_lib_cache: Optional[ctypes.CDLL] = None
+
+
+def build_library(force: bool = False) -> Optional[str]:
+    """Compile the shared library (cached).  Returns the .so path or None
+    when no toolchain is available."""
+    out_dir = os.path.join(_REPO, "native", "build")
+    so_path = os.path.join(out_dir, "libnbest_loader.so")
+    if os.path.exists(so_path) and not force:
+        if (os.path.getmtime(so_path) >= os.path.getmtime(_SRC)):
+            return so_path
+    os.makedirs(out_dir, exist_ok=True)
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC,
+             "-o", so_path],
+            check=True, capture_output=True)
+    except (OSError, subprocess.CalledProcessError):
+        return None
+    return so_path
+
+
+def _load_lib() -> Optional[ctypes.CDLL]:
+    global _lib_cache
+    if _lib_cache is not None:
+        return _lib_cache
+    so = build_library()
+    if so is None:
+        return None
+    lib = ctypes.CDLL(so)
+    lib.nbl_create.restype = ctypes.c_void_p
+    lib.nbl_create.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                               ctypes.c_int32, ctypes.c_int32,
+                               ctypes.c_int32, ctypes.c_int32,
+                               ctypes.c_int32]
+    lib.nbl_error.restype = ctypes.c_char_p
+    lib.nbl_error.argtypes = [ctypes.c_void_p]
+    lib.nbl_load.restype = ctypes.c_int32
+    lib.nbl_load.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                             ctypes.c_int32]
+    lib.nbl_max_len.restype = ctypes.c_int32
+    lib.nbl_max_len.argtypes = [ctypes.c_void_p]
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.nbl_pack.restype = ctypes.c_int32
+    lib.nbl_pack.argtypes = [ctypes.c_void_p, ctypes.c_int32,
+                             ctypes.c_int32, ctypes.c_int32,
+                             i32p, i32p, f32p, i32p, i32p, f32p, f32p]
+    lib.nbl_labels.restype = ctypes.c_char_p
+    lib.nbl_labels.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.nbl_destroy.argtypes = [ctypes.c_void_p]
+    _lib_cache = lib
+    return lib
+
+
+def native_available() -> bool:
+    return _load_lib() is not None
+
+
+def pack_file_native(shard_path: str, memory: Memory,
+                     tokenizer: WordVocabTokenizer,
+                     layout: str = "default",
+                     max_len: Optional[int] = None,
+                     len_multiple: int = 8) -> PackedSplit:
+    """Shard file -> PackedSplit through the C++ loader."""
+    lib = _load_lib()
+    if lib is None:
+        raise RuntimeError("native loader unavailable (no g++?)")
+
+    with tempfile.TemporaryDirectory() as td:
+        vocab_path = os.path.join(td, "vocab.tsv")
+        with open(vocab_path, "w") as fp:
+            for w, i in tokenizer.vocab.items():
+                fp.write(f"{w}\t{i}\n")
+        label_path = os.path.join(td, "labels.tsv")
+        with open(label_path, "w") as fp:
+            for l, i in memory.label2idx.items():
+                fp.write(f"{l}\t{i}\n")
+
+        sep_id = tokenizer.vocab[tokenizer.sep_token]
+        h = lib.nbl_create(vocab_path.encode(), label_path.encode(),
+                           tokenizer.pad_token_id, 1,
+                           tokenizer.vocab[tokenizer.cls_token], sep_id,
+                           1 if tokenizer.double_sep else 0)
+    err = lib.nbl_error(h).decode()
+    if err:
+        lib.nbl_destroy(h)
+        raise RuntimeError(f"native loader: {err}")
+
+    try:
+        n = lib.nbl_load(h, shard_path.encode(), _LAYOUTS[layout])
+        if n < 0:
+            raise RuntimeError(f"native loader: {lib.nbl_error(h).decode()}")
+        if max_len is None:
+            max_len = round_up(int(lib.nbl_max_len(h)), len_multiple)
+
+        n_labels = memory.n_bottom
+        ids = np.empty((n, max_len), np.int32)
+        segs = np.empty((n, max_len), np.int32)
+        mask = np.empty((n, max_len), np.float32)
+        t_ids = np.empty((n, max_len), np.int32)
+        t_segs = np.empty((n, max_len), np.int32)
+        t_mask = np.empty((n, max_len), np.float32)
+        labels = np.empty((n, n_labels), np.float32)
+        with_segs = 0 if layout == "no_system_act" else 1
+        got = lib.nbl_pack(h, max_len, n_labels, with_segs, ids, segs,
+                           mask, t_ids, t_segs, t_mask, labels)
+        assert got == n
+
+        raw_labels = []
+        for i in range(n):
+            s = lib.nbl_labels(h, i).decode()
+            raw_labels.append(s.split(";") if s else [])
+    finally:
+        lib.nbl_destroy(h)
+
+    # raw_asr strings are only needed for eval dumps; reread lazily
+    raw_asr = []
+    with open(shard_path) as fp:
+        for line in fp:
+            parts = line.strip("\n\r").split("\t<=>\t")
+            if len(parts) == 3:
+                raw_asr.append(parts[0].strip().split(" "))
+
+    return PackedSplit(
+        input_ids=ids, segment_ids=segs, attn_mask=mask,
+        trans_input_ids=t_ids, trans_segment_ids=t_segs,
+        trans_attn_mask=t_mask, labels=labels,
+        raw_asr=raw_asr, raw_labels=raw_labels, max_len=max_len)

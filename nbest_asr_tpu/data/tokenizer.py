@@ -66,6 +66,11 @@ class WordVocabTokenizer(BaseTokenizer):
         self.vocab_size = len(self.vocab)
 
     def tokenize(self, word: str) -> List[str]:
+        if not word:
+            # empty tokens from doubled spaces in the raw shards vanish,
+            # matching HF tokenizers' tokenize('') == [] (the serialized
+            # lines do contain double spaces, e.g. "are  restaurants")
+            return []
         if word in self.vocab:  # specials & exact hits bypass lowercasing
             return [word]
         if self.lowercase:

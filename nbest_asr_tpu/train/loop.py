@@ -73,6 +73,48 @@ def _device_data(packed: PackedSplit, *, use_asr_segments: bool,
     }
 
 
+@dataclass
+class _Bucket:
+    """One length bucket: device arrays truncated to the bucket length,
+    plus the original row indices for reassembly."""
+    data: Dict[str, jnp.ndarray]
+    rows: np.ndarray          # original row indices (host)
+
+    def __len__(self) -> int:
+        return len(self.rows)
+
+
+def _make_buckets(data: Dict[str, jnp.ndarray], bucket_lens: List[int]
+                  ) -> List[_Bucket]:
+    """Split device data into per-length buckets.  Row length = max over
+    both streams' real lengths; each row goes to the smallest bucket that
+    fits (the last bucket catches everything longer)."""
+    asr_len = np.asarray(jnp.sum(data["attn_mask"], axis=1))
+    tr_len = np.asarray(jnp.sum(data["trans_attn_mask"], axis=1))
+    row_len = np.maximum(asr_len, tr_len).astype(np.int32)
+
+    bucket_lens = sorted(bucket_lens)
+    buckets: List[_Bucket] = []
+    assigned = np.zeros(row_len.shape[0], dtype=bool)
+    for i, blen in enumerate(bucket_lens):
+        if i == len(bucket_lens) - 1:
+            sel = ~assigned
+        else:
+            sel = (~assigned) & (row_len <= blen)
+        assigned |= sel
+        rows = np.nonzero(sel)[0]
+        if rows.size == 0:
+            continue
+        rows_j = jnp.asarray(rows.astype(np.int32))
+        sub = {}
+        for k, v in data.items():
+            v_rows = jnp.take(v, rows_j, axis=0)
+            sub[k] = v_rows[:, :blen] if (v.ndim == 2
+                                          and k != "labels") else v_rows
+        buckets.append(_Bucket(data=sub, rows=rows))
+    return buckets
+
+
 def _epoch_step_indices(n: int, micro_b: int, n_accum: int,
                         perm: np.ndarray) -> np.ndarray:
     """Shuffled row order -> (n_steps, n_accum, micro_b) index tensor.
@@ -140,6 +182,21 @@ class Trainer:
             for name, p in packed.items()
         }
 
+        # length bucketing (opt-in): per-bucket fixed shapes; the jitted
+        # steps re-specialize per shape automatically
+        bucket_lens: List[int] = []
+        if opt.length_buckets:
+            bucket_lens = sorted(
+                int(x) for x in opt.length_buckets.split(",") if x)
+        self.buckets: Dict[str, List[_Bucket]] = {}
+        for name, d in self.data.items():
+            if bucket_lens:
+                self.buckets[name] = _make_buckets(d, bucket_lens)
+            else:
+                n = len(packed[name])
+                self.buckets[name] = [
+                    _Bucket(data=d, rows=np.arange(n))]
+
         loss_cfg = LossConfig(add_l2_loss=opt.add_l2_loss)
         self.train_step = make_train_step(
             model_cfg, loss_cfg, self.optimizer, self.hier,
@@ -167,42 +224,57 @@ class Trainer:
 
     def run_train_epoch(self) -> EpochMetrics:
         opt = self.opt
-        data = self.data["train"]
-        n = len(self.packed["train"])
-        perm = self._shuffle_rng.permutation(n)
-        idx = _epoch_step_indices(n, opt.micro_batch, opt.n_accum_steps,
-                                  perm)
+        # per-bucket step plans (bucket-local indices), shuffled globally
+        plans = []  # (bucket, idx (n_accum, micro_b))
+        for bucket in self.buckets["train"]:
+            perm = self._shuffle_rng.permutation(len(bucket))
+            try:
+                idx = _epoch_step_indices(len(bucket), opt.micro_batch,
+                                          opt.n_accum_steps, perm)
+            except ValueError:
+                continue  # bucket smaller than one accumulation group
+            for s in range(idx.shape[0]):
+                plans.append((bucket, idx[s]))
+        self._shuffle_rng.shuffle(plans)
+
         stats_acc = None
-        for s in range(idx.shape[0]):
+        for bucket, idx_s in plans:
             self._rng, step_rng = jax.random.split(self._rng)
             self.state, stats = self.train_step(
-                self.state, data, jnp.asarray(idx[s]), step_rng)
+                self.state, bucket.data, jnp.asarray(idx_s), step_rng)
             stats_acc = stats if stats_acc is None else jax.tree.map(
                 jnp.add, stats_acc, stats)
         stats = jax.device_get(stats_acc)
-        n_micros = idx.shape[0] * opt.n_accum_steps
+        n_micros = len(plans) * opt.n_accum_steps
         return self._metrics_from_counts(stats, n_micros * opt.micro_batch)
 
     def run_eval_epoch(self, split: str, epoch: int = 0,
                        dump_prefix: Optional[str] = None
                        ) -> tuple[EpochMetrics, EpochInfo]:
         opt = self.opt
-        data = self.data[split]
         packed = self.packed[split]
         n = len(packed)
         eval_b = opt.eval_batch or opt.micro_batch
-        n_batches = -(-n // eval_b)
-        padded = np.full((n_batches * eval_b,), n, dtype=np.int32)
-        padded[:n] = np.arange(n, dtype=np.int32)
 
-        preds = []
+        pred_mh = np.zeros((n, self.memory.n_bottom), dtype=bool)
         loss_sum = 0.0
-        for bidx in padded.reshape(n_batches, eval_b):
-            out = self.eval_step(self.state.params, data,
-                                 jnp.asarray(bidx))
-            preds.append(out["pred"])
-            loss_sum += float(out["loss"]["total"])
-        pred_mh = np.concatenate([np.asarray(p) for p in preds])[:n]
+        n_batches_total = 0
+        for bucket in self.buckets[split]:
+            nb = len(bucket)
+            n_batches = -(-nb // eval_b)
+            padded = np.full((n_batches * eval_b,), nb, dtype=np.int32)
+            padded[:nb] = np.arange(nb, dtype=np.int32)
+            bucket_preds = []
+            for bidx in padded.reshape(n_batches, eval_b):
+                out = self.eval_step(self.state.params, bucket.data,
+                                     jnp.asarray(bidx))
+                bucket_preds.append(out["pred"])
+                loss_sum += float(out["loss"]["total"])
+            bp = np.concatenate(
+                [np.asarray(p) for p in bucket_preds])[:nb]
+            pred_mh[bucket.rows] = bp
+            n_batches_total += n_batches
+        n_batches = max(n_batches_total, 1)
 
         (p, r, f), acc, pred_strings, golds = host_eval_metrics(
             pred_mh, packed.raw_labels, self.memory.idx2label,

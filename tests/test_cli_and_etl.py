@@ -1,0 +1,146 @@
+"""Full-CLI smoke test on a miniature dataroot (train/valid shards +
+memory.json) and the DSTC2 ETL end-to-end on synthetic session JSON."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def mini_dataroot(tmp_path, ref_valid_path, ref_memory):
+    root = tmp_path / "dataroot"
+    root.mkdir()
+    with open(ref_valid_path) as fp:
+        lines = fp.readlines()
+    with open(root / "train", "w") as fp:
+        fp.writelines(lines[:64])
+    with open(root / "valid", "w") as fp:
+        fp.writelines(lines[64:96])
+    ref_memory.save(str(root / "memory.json"))
+    return str(root)
+
+
+def test_cli_main_trains(mini_dataroot, tmp_path):
+    from nbest_asr_tpu.cli import main
+
+    exp = str(tmp_path / "exp")
+    rc = main([
+        "--dataset", "dstc2", "--dataroot", mini_dataroot,
+        "--batchSize", "8", "--max_epoch", "1",
+        "--n_layers", "2", "--n_head", "4",
+        "--lr", "1e-3", "--bert_lr", "1e-3",
+        "--experiment", exp, "--add_segment_ids",
+    ])
+    assert rc == 0
+    # exp dir is derived from hyperparams (ref util.py:20-55)
+    runs = []
+    for dirpath, dirnames, filenames in os.walk(exp):
+        if "log.train" in filenames:
+            runs.append(dirpath)
+    assert len(runs) == 1
+    assert os.path.exists(os.path.join(runs[0], "valid.iter0"))
+    assert os.path.exists(os.path.join(runs[0], "best.json"))
+
+
+def test_cli_testing_mode(mini_dataroot, tmp_path):
+    from nbest_asr_tpu.cli import main
+
+    exp = str(tmp_path / "exp2")
+    args = [
+        "--dataset", "dstc2", "--dataroot", mini_dataroot,
+        "--batchSize", "8", "--max_epoch", "1",
+        "--n_layers", "2", "--n_head", "4",
+        "--experiment", exp,
+    ]
+    assert main(args) == 0
+    # --testing reloads the best checkpoint and evaluates (the reference's
+    # testing mode crashes, ref n_best_asr_bert.py:453)
+    assert main(args + ["--testing"]) == 0
+
+
+# --------------------------------------------------------------------- #
+# ETL
+# --------------------------------------------------------------------- #
+
+def _synthetic_session(session_id: str, n_turns: int = 3):
+    log_turns, label_turns = [], []
+    foods = ["chinese", "indian", "thai"]
+    for i in range(n_turns):
+        log_turns.append({
+            "turn-index": i,
+            "output": {
+                "transcript": f"What kind of food would you like turn {i}",
+                "dialog-acts": [
+                    {"act": "request", "slots": [["slot", "food"]]},
+                    {"act": "reqmore", "slots": []},
+                ],
+            },
+            "input": {"batch": {"asr-hyps": [
+                {"asr-hyp": f"i want {foods[i % 3]} food"},
+                {"asr-hyp": f"i want {foods[i % 3]} foods"},
+                {"asr-hyp": ""},
+            ]}},
+        })
+        label_turns.append({
+            "turn-index": i,
+            "transcription": f"i want {foods[i % 3]} food",
+            "semantics": {"json": [
+                {"act": "inform", "slots": [["food", foods[i % 3]]]},
+            ]},
+        })
+    return ({"session-id": session_id, "turns": log_turns},
+            {"session-id": session_id, "turns": label_turns})
+
+
+def test_etl_end_to_end(tmp_path):
+    from nbest_asr_tpu.data.etl import run_etl
+    from nbest_asr_tpu.data.vocab import Memory
+
+    data_dir = tmp_path / "dstc2"
+    (data_dir / "scripts" / "config").mkdir(parents=True)
+    for split, sessions in (("train", ["s1", "s2"]), ("dev", ["s3"]),
+                            ("test", ["s4"])):
+        with open(data_dir / "scripts" / "config" /
+                  f"dstc2_{split}.flist", "w") as fp:
+            fp.write("\n".join(sessions) + "\n")
+    for sid in ("s1", "s2", "s3", "s4"):
+        sdir = data_dir / "ori_data" / sid
+        sdir.mkdir(parents=True)
+        log, label = _synthetic_session(sid)
+        with open(sdir / "log.json", "w") as fp:
+            json.dump(log, fp)
+        with open(sdir / "label.json", "w") as fp:
+            json.dump(label, fp)
+
+    out_dir = tmp_path / "out"
+    run_etl(str(data_dir), str(out_dir))
+
+    raw = out_dir / "processed_data" / "raw"
+    assert (raw / "train").exists() and (raw / "memory.json").exists()
+
+    # shard format round-trips through the dataset reader
+    from nbest_asr_tpu.data.dataset import read_sep_data
+
+    split = read_sep_data(str(raw / "train"))
+    assert len(split) == 6  # 2 sessions x 3 turns
+    assert split.asr_seqs[0][:2] == ["[CLS]", "[SYS]"]
+    assert "[SEP]" in split.asr_seqs[0]
+    assert split.labels[0] == ["inform-food-chinese"]
+
+    mem = Memory.load(str(raw / "memory.json"))
+    # NONE injection happened for the value-bearing group
+    none_labels = [l for l in mem.label2idx if l.endswith("NONE")]
+    assert none_labels == ["inform-food-NONE"]
+    arr = mem.arrays()
+    t = mem.toplabel2idx["inform-food"]
+    assert arr.is_multi_top[t]
+    assert mem.idx2label[int(arr.group_last_bottom[t])] == \
+        "inform-food-NONE"
+    # compound-act split fed the sysact vocab (reqmore -> request, more)
+    assert "request" in mem.sysact2idx and "more" in mem.sysact2idx
+
+    # stats log written
+    text = (raw / "log").read_text()
+    assert "train word vocab size" in text
