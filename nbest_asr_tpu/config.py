@@ -91,6 +91,7 @@ class RunOptions:
     eval_batch: Optional[int] = None      # defaults to the train micro_b
     checkpoint_every: int = 0             # extra periodic ckpt (epochs)
     resume: Optional[str] = None          # checkpoint dir to resume from
+    profile_dir: Optional[str] = None     # jax.profiler trace of epoch 1
 
     # ------------- resolved at setup ---------------------------------- #
     ontology: Optional[dict] = field(default=None, repr=False)
@@ -203,6 +204,7 @@ def parse_arguments(argv=None) -> RunOptions:
     p.add_argument("--eval_batch", type=int, default=None)
     p.add_argument("--checkpoint_every", type=int, default=0)
     p.add_argument("--resume", default=None)
+    p.add_argument("--profile_dir", default=None)
 
     args = p.parse_args(argv)
     opt = RunOptions(**vars(args))

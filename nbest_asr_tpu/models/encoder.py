@@ -50,6 +50,8 @@ class EncoderConfig:
     initializer_range: float = 0.02
     compute_dtype: str = "float32"  # "bfloat16" on TPU hot path
     use_flash_attention: bool = False
+    use_fused_ln: bool = False      # Pallas residual+LayerNorm kernel
+    use_fused_gelu: bool = False    # Pallas bias+GELU kernel
     remat: bool = False             # jax.checkpoint the layer scan body
 
     @property
@@ -155,6 +157,17 @@ def encoder_forward(params: dict, input_ids: jnp.ndarray,
     nh, hd = cfg.num_heads, cfg.head_dim
     cdt = cfg.cdtype
 
+    if cfg.use_fused_ln:
+        from ..ops.fused_ln import fused_residual_layer_norm
+
+        def res_ln(delta, residual, scale, bias):
+            return fused_residual_layer_norm(delta, residual, scale, bias,
+                                             cfg.layer_norm_eps)
+    else:
+        def res_ln(delta, residual, scale, bias):
+            return layer_norm(residual + delta, scale, bias,
+                              cfg.layer_norm_eps)
+
     def layer_step(carry, scanned):
         x, layer_idx = carry
         p = scanned
@@ -177,17 +190,22 @@ def encoder_forward(params: dict, input_ids: jnp.ndarray,
         if not deterministic:
             ctx = dropout(ctx, cfg.hidden_dropout,
                           jax.random.fold_in(lrng, 2), deterministic)
-        x = layer_norm(x + ctx, p["attn_ln_scale"], p["attn_ln_bias"],
-                       cfg.layer_norm_eps)
+        x = res_ln(ctx, x, p["attn_ln_scale"], p["attn_ln_bias"])
 
-        y = dense(x, p["ffn_in_kernel"].astype(cdt), p["ffn_in_bias"])
-        y = gelu(y)
+        if cfg.use_fused_gelu:
+            from ..ops.fused_gelu import fused_bias_gelu
+
+            y = jnp.dot(x, p["ffn_in_kernel"].astype(cdt),
+                        preferred_element_type=jnp.float32).astype(cdt)
+            y = fused_bias_gelu(y, p["ffn_in_bias"])
+        else:
+            y = dense(x, p["ffn_in_kernel"].astype(cdt), p["ffn_in_bias"])
+            y = gelu(y)
         y = dense(y, p["ffn_out_kernel"].astype(cdt), p["ffn_out_bias"])
         if not deterministic:
             y = dropout(y, cfg.hidden_dropout,
                         jax.random.fold_in(lrng, 3), deterministic)
-        x = layer_norm(x + y, p["ffn_ln_scale"], p["ffn_ln_bias"],
-                       cfg.layer_norm_eps)
+        x = res_ln(y, x, p["ffn_ln_scale"], p["ffn_ln_bias"])
         return (x, layer_idx + 1), None
 
     step = layer_step

@@ -1,0 +1,116 @@
+"""Batch inference API.
+
+The reference's only inference surface is `--testing` re-evaluation over
+files (`n_best_asr_bert.py:442-473`).  This module adds a production-style
+predictor: a jit-compiled, fixed-shape, single-stream forward (no
+transcript pass, no loss) from raw serialized utterances to semantic-tuple
+label strings — suitable for TPU serving.
+
+Input format per utterance: the serialized line form the ETL emits
+(`[CLS] [SYS] <sys words> [USR] <hyp1> [SEP] <hyp2> ...`), either as a
+string or a word list.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .data.dataset import RawSplit
+from .data.input_builder import pack_split
+from .data.tokenizer import BaseTokenizer
+from .data.vocab import Memory
+from .models.heads import hierarchy_device_arrays
+from .models.model import ModelConfig, model_forward
+from .train.decode import decode_multihot
+from .train.metrics import multihot_to_labels
+
+
+class Predictor:
+    def __init__(self, params: dict, cfg: ModelConfig, memory: Memory,
+                 tokenizer: BaseTokenizer, *, layout: str = "default",
+                 use_segments: bool = False, batch_size: int = 16,
+                 max_len: int = 256):
+        self.params = params
+        self.cfg = cfg
+        self.memory = memory
+        self.tokenizer = tokenizer
+        self.layout = layout
+        self.use_segments = use_segments
+        self.batch_size = batch_size
+        self.max_len = max_len
+        self.hier = hierarchy_device_arrays(memory.arrays())
+
+        def fwd(params, input_ids, attn_mask, segment_ids):
+            top, probs, final, _, _ = model_forward(
+                params, cfg, self.hier, input_ids, attn_mask,
+                segment_ids, deterministic=True)
+            return decode_multihot(top, probs, self.hier), final
+
+        self._fwd = jax.jit(fwd)
+
+    # ------------------------------------------------------------------ #
+    def predict(self, utterances: Sequence[Union[str, Sequence[str]]]
+                ) -> List[List[str]]:
+        """Raw serialized utterances -> per-utterance label lists."""
+        seqs = [u.split() if isinstance(u, str) else list(u)
+                for u in utterances]
+        n = len(seqs)
+        # pack with dummy transcript/labels (single-stream inference)
+        split = RawSplit(asr_seqs=seqs, trans_seqs=seqs,
+                         labels=[[] for _ in seqs])
+        packed = pack_split(split, self.tokenizer, self.memory,
+                            layout=self.layout, max_len=self.max_len)
+
+        segs = packed.segment_ids if self.use_segments else \
+            np.zeros_like(packed.segment_ids)
+
+        out = np.zeros((n, self.memory.n_bottom), dtype=bool)
+        bs = self.batch_size
+        for start in range(0, n, bs):
+            end = min(start + bs, n)
+            pad = bs - (end - start)
+            ids = np.pad(packed.input_ids[start:end], ((0, pad), (0, 0)))
+            mask = np.pad(packed.attn_mask[start:end], ((0, pad), (0, 0)))
+            sg = np.pad(segs[start:end], ((0, pad), (0, 0)))
+            # keep padded rows harmless: mask row 0 position attends self
+            mask[end - start:, 0] = 1.0
+            pred, _ = self._fwd(self.params, jnp.asarray(ids),
+                                jnp.asarray(mask), jnp.asarray(sg))
+            out[start:end] = np.asarray(pred)[: end - start]
+        return multihot_to_labels(out, self.memory.idx2label)
+
+    def scores(self, utterances: Sequence[Union[str, Sequence[str]]]
+               ) -> np.ndarray:
+        """Raw utterances -> (n, n_bottom) final_scores (top x group
+        softmax composition, ref hierarchical_classifier.py:50-58)."""
+        seqs = [u.split() if isinstance(u, str) else list(u)
+                for u in utterances]
+        split = RawSplit(asr_seqs=seqs, trans_seqs=seqs,
+                         labels=[[] for _ in seqs])
+        packed = pack_split(split, self.tokenizer, self.memory,
+                            layout=self.layout, max_len=self.max_len)
+        segs = packed.segment_ids if self.use_segments else \
+            np.zeros_like(packed.segment_ids)
+        _, final = self._fwd(self.params,
+                             jnp.asarray(packed.input_ids),
+                             jnp.asarray(packed.attn_mask),
+                             jnp.asarray(segs))
+        return np.asarray(final)
+
+
+def load_predictor(exp_dir: str, memory: Memory, cfg: ModelConfig,
+                   tokenizer: BaseTokenizer, **kw) -> Predictor:
+    """Restore the best checkpoint written by the Trainer and wrap it."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    restored = ckptr.restore(
+        os.path.abspath(os.path.join(exp_dir, "model.ckpt")))
+    params = jax.tree.map(jnp.asarray, restored["params"])
+    return Predictor(params, cfg, memory, tokenizer, **kw)

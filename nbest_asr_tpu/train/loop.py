@@ -360,9 +360,16 @@ class Trainer:
                 "te_acc": 0.0}
         has_test = "test" in self.data
 
+        profile_epoch = min(1, opt.max_epoch - 1)  # post-compile epoch
         for i in range(opt.max_epoch):
             t0 = time.time()
-            tr = self.run_train_epoch()
+            if opt.profile_dir and i == profile_epoch:
+                from ..utils.profiling import trace
+
+                with trace(opt.profile_dir):
+                    tr = self.run_train_epoch()
+            else:
+                tr = self.run_train_epoch()
             logger.info(
                 "[Train]\tEpoch: %02d\tTime: %.2f\tLoss: %.2f\t"
                 "(p/r/f): (%.2f/%.2f/%.2f)\tAcc: %.2f" %

@@ -1,0 +1,73 @@
+"""Inference API: batch prediction consistency with the eval path, and
+checkpoint restore through load_predictor."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from nbest_asr_tpu.models.encoder import EncoderConfig
+from nbest_asr_tpu.models.model import ModelConfig, init_model_params
+from nbest_asr_tpu.serve import Predictor, load_predictor
+
+
+@pytest.fixture(scope="module")
+def setup():
+    import os
+
+    ref = "/root/reference/dstc2_data/processed_data/raw"
+    if not os.path.exists(os.path.join(ref, "valid")):
+        pytest.skip("reference data unavailable")
+    from nbest_asr_tpu.data.dataset import read_sep_data
+    from nbest_asr_tpu.data.tokenizer import WordVocabTokenizer
+    from nbest_asr_tpu.data.vocab import Memory
+
+    memory = Memory.from_torch_pt(os.path.join(ref, "memory.pt"))
+    tok = WordVocabTokenizer(memory)
+    split = read_sep_data(os.path.join(ref, "valid"))
+    cfg = ModelConfig(
+        encoder=EncoderConfig.tiny(vocab_size=tok.vocab_size),
+        n_top=memory.n_top, n_bottom=memory.n_bottom)
+    params = init_model_params(jax.random.PRNGKey(0), cfg)
+    return memory, tok, split, cfg, params
+
+
+def test_predict_shapes_and_batching(setup):
+    memory, tok, split, cfg, params = setup
+    pred = Predictor(params, cfg, memory, tok, batch_size=8, max_len=256)
+    utts = [" ".join(s) for s in split.asr_seqs[:20]]
+    out = pred.predict(utts)
+    assert len(out) == 20
+    assert all(isinstance(labels, list) for labels in out)
+    # batching must not change results
+    out_single = pred.predict(utts[:3])
+    assert out[:3] == out_single
+
+    scores = pred.scores(utts[:4])
+    assert scores.shape == (4, memory.n_bottom)
+    assert np.isfinite(scores).all()
+
+
+def test_load_predictor_roundtrip(setup, tmp_path):
+    memory, tok, split, cfg, params = setup
+    from nbest_asr_tpu.config import RunOptions
+    from nbest_asr_tpu.data.input_builder import pack_split
+    from nbest_asr_tpu.train.loop import Trainer
+
+    packed = {
+        "train": pack_split(split.select(range(32)), tok, memory,
+                            max_len=256),
+        "valid": pack_split(split.select(range(32, 48)), tok, memory,
+                            max_len=256),
+    }
+    opt = RunOptions(dataset="dstc2", dataroot="x", batchSize=8,
+                     max_epoch=1, experiment=str(tmp_path))
+    opt.exp_dir = str(tmp_path)
+    trainer = Trainer(opt, memory, cfg, params, packed)
+    trainer.run_train_epoch()
+    trainer.save_checkpoint(str(tmp_path / "model.ckpt"))
+
+    pred = load_predictor(str(tmp_path), memory, cfg, tok, max_len=256)
+    utts = [" ".join(s) for s in split.asr_seqs[:4]]
+    out = pred.predict(utts)
+    assert len(out) == 4
