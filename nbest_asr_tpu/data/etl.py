@@ -118,9 +118,16 @@ class SessionStats:
 
 def process_session(log_data: dict, label_data: dict,
                     split_map: Dict[str, List[str]] = SPLIT_MAP,
+                    augment: bool = False, upsample_count: int = 3,
                     ) -> Tuple[List[TurnRecord], SessionStats]:
     """One DSTC2 session (log.json + label.json) -> turn records + vocab
-    stats (ref `read_wcn_data_and_save` :173-256)."""
+    stats (ref `read_wcn_data_and_save` :173-256).
+
+    ``augment`` upsamples each turn with ``upsample_count`` extra copies
+    whose ASR side is the manual transcript (the reference's dormant
+    augmentation, ref :250-253 — its implementation writes 2-field lines
+    the active reader cannot parse; here the copies are valid 3-field
+    records, trans-as-asr)."""
     assert log_data["session-id"] == label_data["session-id"]
     records: List[TurnRecord] = []
     stats = SessionStats()
@@ -151,6 +158,9 @@ def process_session(log_data: dict, label_data: dict,
                 or sys_resp.rstrip() == ""):
             continue
         records.append(TurnRecord(in_seq, trans_seq, labels))
+        if augment:
+            for _ in range(upsample_count):
+                records.append(TurnRecord(trans_seq, trans_seq, labels))
 
     return records, stats
 

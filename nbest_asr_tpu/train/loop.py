@@ -164,8 +164,10 @@ class Trainer:
 
         n_train = len(packed["train"]) if "train" in packed else 1
         t_total = (n_train // opt.batchSize + 1) * opt.max_epoch  # ref :556
+        # --fix_bert_model freezes the encoder: lr 0 for encoder leaves
+        bert_lr = 0.0 if opt.fix_bert_model else opt.bert_lr
         self.opt_cfg = OptimizerConfig(
-            optim_choice=opt.optim_choice, lr=opt.lr, bert_lr=opt.bert_lr,
+            optim_choice=opt.optim_choice, lr=opt.lr, bert_lr=bert_lr,
             warmup_proportion=opt.warmup_proportion, t_total=t_total,
             max_grad_norm=1.0 if opt.optim_choice == "bertadam"
             else opt.max_norm,

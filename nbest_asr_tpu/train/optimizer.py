@@ -180,8 +180,12 @@ def bert_adam(cfg: OptimizerConfig, params_template) -> optax.GradientTransforma
 
 def _plain_adam(cfg: OptimizerConfig) -> optax.GradientTransformation:
     """torch.optim.Adam(lr, betas, eps=1e-8, weight_decay=l2): L2 is folded
-    into the gradients (ref `n_best_asr_bert.py:554`)."""
+    into the gradients (ref `n_best_asr_bert.py:554`).  The global-norm
+    clip the reference applies before non-bertadam steps (ref :268-270)
+    is chained first."""
     chain = []
+    if cfg.max_grad_norm > 0:
+        chain.append(optax.clip_by_global_norm(cfg.max_grad_norm))
     if cfg.l2 > 0:
         chain.append(optax.add_decayed_weights(cfg.l2))
     chain.append(optax.scale_by_adam(b1=cfg.b1, b2=cfg.b2, eps=1e-8))
@@ -197,7 +201,8 @@ class AdamWState(NamedTuple):
 
 def _adamw(cfg: OptimizerConfig, params_template) -> optax.GradientTransformation:
     """HF AdamW(correct_bias=False) + get_linear_schedule_with_warmup,
-    grouped lrs/wd (ref `n_best_asr_bert.py:562-569`)."""
+    grouped lrs/wd (ref `n_best_asr_bert.py:562-569`), with the reference's
+    pre-step global-norm clip for non-bertadam modes (ref :268-270)."""
     lrs = lr_tree(params_template, cfg)
     wds = wd_tree(params_template, cfg)
     warmup_steps = int(cfg.warmup_proportion * max(cfg.t_total, 1))
@@ -241,6 +246,10 @@ def make_optimizer(cfg: OptimizerConfig, params_template
     if cfg.optim_choice == "adam":
         return _plain_adam(cfg)
     if cfg.optim_choice == "adamw":
+        if cfg.max_grad_norm > 0:
+            return optax.chain(
+                optax.clip_by_global_norm(cfg.max_grad_norm),
+                _adamw(cfg, params_template))
         return _adamw(cfg, params_template)
     raise ValueError(f"unknown optim_choice: {cfg.optim_choice}")
 

@@ -144,3 +144,15 @@ def test_etl_end_to_end(tmp_path):
     # stats log written
     text = (raw / "log").read_text()
     assert "train word vocab size" in text
+
+
+def test_etl_augmentation():
+    from nbest_asr_tpu.data.etl import process_session
+
+    log, label = _synthetic_session("sa")
+    plain, _ = process_session(log, label)
+    aug, _ = process_session(log, label, augment=True, upsample_count=2)
+    assert len(aug) == len(plain) * 3
+    # augmented copies carry the transcript on the ASR side
+    assert aug[1].asr_in == aug[1].trans_in == plain[0].trans_in
+    assert aug[1].labels == plain[0].labels
