@@ -1,0 +1,99 @@
+"""Data-parallel correctness: the same batch stepped on a 1-device mesh
+and an 8-device data-parallel mesh must produce identical parameters
+(sum-reduced losses + summed grads are device-count invariant), and tp=2
+must match as well."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nbest_asr_tpu.models.encoder import EncoderConfig
+from nbest_asr_tpu.models.heads import hierarchy_device_arrays
+from nbest_asr_tpu.models.model import ModelConfig, init_model_params
+from nbest_asr_tpu.parallel.mesh import make_mesh, param_shardings
+from nbest_asr_tpu.parallel.train_step import TrainState, make_train_step
+from nbest_asr_tpu.train.losses import LossConfig
+from nbest_asr_tpu.train.optimizer import OptimizerConfig, make_optimizer
+
+
+def _setup(tiny_memory):
+    mem = tiny_memory
+    hier = hierarchy_device_arrays(mem.arrays())
+    enc = EncoderConfig.tiny(vocab_size=64, hidden_dropout=0.0,
+                             attn_dropout=0.0)
+    cfg = ModelConfig(encoder=enc, n_top=mem.n_top, n_bottom=mem.n_bottom)
+    params = init_model_params(jax.random.PRNGKey(0), cfg)
+
+    rng = np.random.RandomState(0)
+    n_rows = 16
+    s = 16
+    labels = np.zeros((n_rows, mem.n_bottom), np.float32)
+    labels[np.arange(n_rows), rng.randint(2, mem.n_bottom, n_rows)] = 1
+    data = {
+        "input_ids": jnp.asarray(rng.randint(1, 64, (n_rows, s)),
+                                 jnp.int32),
+        "attn_mask": jnp.ones((n_rows, s), jnp.float32),
+        "segment_ids": jnp.zeros((n_rows, s), jnp.int32),
+        "trans_input_ids": jnp.asarray(rng.randint(1, 64, (n_rows, s)),
+                                       jnp.int32),
+        "trans_attn_mask": jnp.ones((n_rows, s), jnp.float32),
+        "trans_segment_ids": jnp.zeros((n_rows, s), jnp.int32),
+        "labels": jnp.asarray(labels),
+    }
+    return mem, hier, cfg, params, data
+
+
+def _run_steps(cfg, hier, params, data, mesh, tensor_parallel, n_steps=3):
+    opt_cfg = OptimizerConfig(optim_choice="bertadam", lr=1e-3,
+                              bert_lr=1e-3, t_total=100)
+    optimizer = make_optimizer(opt_cfg, params)
+    sharded = jax.device_put(
+        params, param_shardings(params, mesh,
+                                tensor_parallel=tensor_parallel))
+    state = TrainState(params=sharded,
+                       opt_state=optimizer.init(sharded),
+                       step=jnp.zeros([], jnp.int32))
+    step = make_train_step(cfg, LossConfig(add_l2_loss=True), optimizer,
+                           hier, n_accum=2, mesh=mesh, dual_stream=True,
+                           donate=False)
+    idx = jnp.asarray(np.arange(16, dtype=np.int32).reshape(2, 8))
+    for i in range(n_steps):
+        # deterministic=False but dropout rates are 0; fixed rng
+        state, stats = step(state, data, idx, jax.random.PRNGKey(7))
+    return jax.device_get(state.params), jax.device_get(stats)
+
+
+def test_dp8_matches_single_device(tiny_memory):
+    assert len(jax.devices()) == 8
+    mem, hier, cfg, params, data = _setup(tiny_memory)
+
+    mesh1 = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+    mesh8 = make_mesh(n_data=8, n_model=1)
+
+    p1, s1 = _run_steps(cfg, hier, params, data, mesh1, False)
+    p8, s8 = _run_steps(cfg, hier, params, data, mesh8, False)
+
+    flat1 = jax.tree.leaves(p1)
+    flat8 = jax.tree.leaves(p8)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(float(s1["loss"]["total"]),
+                               float(s8["loss"]["total"]), rtol=1e-5)
+    np.testing.assert_allclose(float(s1["counts"]["tp"]),
+                               float(s8["counts"]["tp"]))
+
+
+def test_dp4_tp2_matches_single_device(tiny_memory):
+    mem, hier, cfg, params, data = _setup(tiny_memory)
+    mesh1 = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+    mesh42 = make_mesh(n_data=4, n_model=2)
+
+    p1, _ = _run_steps(cfg, hier, params, data, mesh1, False)
+    p42, _ = _run_steps(cfg, hier, params, data, mesh42, True)
+
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p42)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=2e-5)

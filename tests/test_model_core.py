@@ -188,3 +188,43 @@ def test_model_forward_dual_stream(tiny_memory):
     np.testing.assert_allclose(np.asarray(asr_cls), np.asarray(trans_cls),
                                atol=1e-6)
     assert final.shape == (2, mem.n_bottom)
+
+
+def test_encoder_parity_vs_hf_xlm_roberta():
+    """Random-init HF XLMRobertaModel -> converter -> our encoder with the
+    RoBERTa position offset (padding_idx+1 position numbering) and real
+    attention masks."""
+    torch = pytest.importorskip("torch")
+    from transformers import XLMRobertaConfig, XLMRobertaModel
+
+    from nbest_asr_tpu.models.hf_convert import (config_from_hf,
+                                                 convert_hf_model)
+
+    hf_cfg = XLMRobertaConfig(
+        vocab_size=150, hidden_size=48, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=96,
+        max_position_embeddings=66, type_vocab_size=1,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        pad_token_id=1,
+    )
+    torch.manual_seed(0)
+    hf_model = XLMRobertaModel(hf_cfg, add_pooling_layer=False).eval()
+
+    cfg = config_from_hf(hf_cfg)
+    assert cfg.position_offset == 2
+    params = jax.tree.map(jnp.asarray, convert_hf_model(hf_model, cfg))
+
+    rng = np.random.RandomState(3)
+    ids = rng.randint(2, 150, (2, 18)).astype(np.int64)
+    mask = np.ones((2, 18), np.float32)
+
+    with torch.no_grad():
+        hf_out = hf_model(
+            input_ids=torch.tensor(ids),
+            attention_mask=torch.tensor(mask),
+        ).last_hidden_state.numpy()
+
+    ours = np.asarray(encoder_forward(
+        params, jnp.asarray(ids, jnp.int32), jnp.asarray(mask), None,
+        cfg))
+    np.testing.assert_allclose(ours, hf_out, atol=2e-4, rtol=1e-3)

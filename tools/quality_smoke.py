@@ -1,0 +1,113 @@
+"""Quality smoke: full-pipeline training to convergence on the shipped
+DSTC2 valid shard (the only split available offline — train/test were
+stripped from this mirror, `.MISSING_LARGE_BLOBS`).
+
+Splits the 3,560-utterance shard 80/10/10 into train/valid/test, trains a
+from-scratch encoder through the real CLI, and reports best F1/Acc.  This
+is NOT the paper's benchmark (that needs pretrained bert-base-uncased +
+the full DSTC2 train set, both unavailable offline) — it demonstrates the
+complete training path converges and writes `QUALITY.md` with the curve.
+
+Run: python tools/quality_smoke.py [--epochs N] [--out exp_dir]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+REF_RAW = "/root/reference/dstc2_data/processed_data/raw"
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--out", default="/tmp/quality_smoke")
+    ap.add_argument("--n_layers", type=int, default=4)
+    ap.add_argument("--lr", type=float, default=5e-4)
+    args = ap.parse_args()
+
+    valid_path = os.path.join(REF_RAW, "valid")
+    if not os.path.exists(valid_path):
+        print("reference valid shard unavailable", file=sys.stderr)
+        return 2
+
+    os.makedirs(args.out, exist_ok=True)
+    dataroot = os.path.join(args.out, "dataroot")
+    os.makedirs(dataroot, exist_ok=True)
+
+    with open(valid_path) as fp:
+        lines = fp.readlines()
+    n = len(lines)
+    cut1, cut2 = int(n * 0.8), int(n * 0.9)
+    for name, chunk in (("train", lines[:cut1]),
+                        ("valid", lines[cut1:cut2]),
+                        ("test", lines[cut2:])):
+        with open(os.path.join(dataroot, name), "w") as fp:
+            fp.writelines(chunk)
+
+    from nbest_asr_tpu.data.vocab import Memory
+
+    Memory.from_torch_pt(os.path.join(REF_RAW, "memory.pt")).save(
+        os.path.join(dataroot, "memory.json"))
+
+    from nbest_asr_tpu.cli import main as cli_main
+
+    t0 = time.time()
+    rc = cli_main([
+        "--dataset", "dstc2_smoke", "--dataroot", dataroot,
+        "--n_layers", str(args.n_layers), "--n_head", "8",
+        "--optim_choice", "bertadam",
+        "--lr", str(args.lr), "--bert_lr", str(args.lr),
+        "--warmup_proportion", "0.1",
+        "--dropout", "0.1", "--bert_dropout", "0.1",
+        "--batchSize", "32", "--max_epoch", str(args.epochs),
+        "--random_seed", "999",
+        "--compute_dtype", "bfloat16",
+        "--length_buckets", "96,160,256",
+        "--add_segment_ids",
+        "--experiment", os.path.join(args.out, "exp"),
+    ])
+    wall = time.time() - t0
+    if rc != 0:
+        return rc
+
+    # locate best.json
+    best = None
+    for dirpath, _, files in os.walk(os.path.join(args.out, "exp")):
+        if "best.json" in files:
+            with open(os.path.join(dirpath, "best.json")) as fp:
+                best = json.load(fp)
+    assert best is not None
+
+    md = os.path.join(REPO, "QUALITY.md")
+    with open(md, "w") as fp:
+        fp.write(
+            "# Quality smoke (from-scratch, valid-shard 80/10/10)\n\n"
+            "Full pipeline (ETL artifacts -> packer -> CLI trainer -> "
+            "decode -> string-exact F1) on the only split shipped with "
+            "the reference mirror.  From-scratch word-vocab encoder — "
+            "NOT comparable to the paper's pretrained-BERT 87.4 F1; "
+            "demonstrates the training path converges end to end.\n\n"
+            f"- encoder: {args.n_layers}L/768H from scratch, bf16, "
+            f"buckets 96/160/256, batch 32, bertadam lr {args.lr}\n"
+            f"- epochs: {args.epochs}, wall: {wall:.0f}s on one v5e "
+            "chip (incl. compile)\n\n"
+            f"| metric | value |\n|---|---|\n"
+            f"| best valid F1 | {best['vf']:.2f} |\n"
+            f"| best valid Acc | {best['v_acc']:.2f} |\n"
+            f"| test F1 @ best valid | {best['tef']:.2f} |\n"
+            f"| test Acc @ best valid | {best['te_acc']:.2f} |\n"
+            f"| best epoch | {best['epoch']} |\n")
+    print(json.dumps(best))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
