@@ -26,6 +26,7 @@ identical).
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import time
@@ -51,11 +52,13 @@ from ..utils.logging import make_logger
 from ..utils.observability import EpochInfo, observability_lens
 
 
-def _device_data(packed: PackedSplit, *, use_asr_segments: bool,
-                 use_trans_segments: bool) -> Dict[str, jnp.ndarray]:
-    """PackedSplit -> device-resident dict.  Segment streams the layout
-    doesn't use are zeros (== token type 0, identical to passing None).
-    Quirk preserved: the reference drops ASR segment ids unless
+def _host_data(packed: PackedSplit, *, use_asr_segments: bool,
+               use_trans_segments: bool) -> Dict[str, np.ndarray]:
+    """PackedSplit -> host numpy dict (bucketing slices it on host; each
+    bucket is device_put exactly once — per-bucket jnp slicing would cost
+    one compile round-trip per array per bucket).  Segment streams the
+    layout doesn't use are zeros (== token type 0, identical to passing
+    None).  Quirk preserved: the reference drops ASR segment ids unless
     ``--add_segment_ids`` but always passes transcript segment ids
     (`n_best_asr_bert.py:252-255`)."""
     segs = packed.segment_ids if use_asr_segments else \
@@ -63,13 +66,13 @@ def _device_data(packed: PackedSplit, *, use_asr_segments: bool,
     tsegs = packed.trans_segment_ids if use_trans_segments else \
         np.zeros_like(packed.trans_segment_ids)
     return {
-        "input_ids": jnp.asarray(packed.input_ids),
-        "attn_mask": jnp.asarray(packed.attn_mask),
-        "segment_ids": jnp.asarray(segs),
-        "trans_input_ids": jnp.asarray(packed.trans_input_ids),
-        "trans_attn_mask": jnp.asarray(packed.trans_attn_mask),
-        "trans_segment_ids": jnp.asarray(tsegs),
-        "labels": jnp.asarray(packed.labels),
+        "input_ids": packed.input_ids,
+        "attn_mask": packed.attn_mask,
+        "segment_ids": segs,
+        "trans_input_ids": packed.trans_input_ids,
+        "trans_attn_mask": packed.trans_attn_mask,
+        "trans_segment_ids": tsegs,
+        "labels": packed.labels,
     }
 
 
@@ -84,19 +87,22 @@ class _Bucket:
         return len(self.rows)
 
 
-def _make_buckets(data: Dict[str, jnp.ndarray], bucket_lens: List[int]
+def _make_buckets(data: Dict[str, np.ndarray], bucket_lens: List[int]
                   ) -> List[_Bucket]:
-    """Split device data into per-length buckets.  Row length = max over
-    both streams' real lengths; each row goes to the smallest bucket that
-    fits (the last bucket catches everything longer)."""
-    asr_len = np.asarray(jnp.sum(data["attn_mask"], axis=1))
-    tr_len = np.asarray(jnp.sum(data["trans_attn_mask"], axis=1))
-    row_len = np.maximum(asr_len, tr_len).astype(np.int32)
+    """Split host data into per-length buckets and device_put each bucket
+    once.  Row length = max over both streams' real lengths; each row goes
+    to the smallest bucket that fits (the last bucket catches everything
+    longer, truncated to the packed max_len)."""
+    row_len = np.maximum(data["attn_mask"].sum(axis=1),
+                         data["trans_attn_mask"].sum(axis=1)).astype(
+                             np.int32)
+    max_len = data["input_ids"].shape[1]
 
     bucket_lens = sorted(bucket_lens)
     buckets: List[_Bucket] = []
     assigned = np.zeros(row_len.shape[0], dtype=bool)
     for i, blen in enumerate(bucket_lens):
+        blen = min(blen, max_len)
         if i == len(bucket_lens) - 1:
             sel = ~assigned
         else:
@@ -105,12 +111,12 @@ def _make_buckets(data: Dict[str, jnp.ndarray], bucket_lens: List[int]
         rows = np.nonzero(sel)[0]
         if rows.size == 0:
             continue
-        rows_j = jnp.asarray(rows.astype(np.int32))
         sub = {}
         for k, v in data.items():
-            v_rows = jnp.take(v, rows_j, axis=0)
-            sub[k] = v_rows[:, :blen] if (v.ndim == 2
-                                          and k != "labels") else v_rows
+            v_rows = v[rows]
+            if v.ndim == 2 and k != "labels":
+                v_rows = v_rows[:, :blen]
+            sub[k] = jnp.asarray(np.ascontiguousarray(v_rows))
         buckets.append(_Bucket(data=sub, rows=rows))
     return buckets
 
@@ -179,8 +185,8 @@ class Trainer:
         use_asr_segs = opt.add_segment_ids and not is_xlmr
         use_trans_segs = not is_xlmr
         self.data = {
-            name: _device_data(p, use_asr_segments=use_asr_segs,
-                               use_trans_segments=use_trans_segs)
+            name: _host_data(p, use_asr_segments=use_asr_segs,
+                             use_trans_segments=use_trans_segs)
             for name, p in packed.items()
         }
 
@@ -196,8 +202,9 @@ class Trainer:
                 self.buckets[name] = _make_buckets(d, bucket_lens)
             else:
                 n = len(packed[name])
-                self.buckets[name] = [
-                    _Bucket(data=d, rows=np.arange(n))]
+                self.buckets[name] = [_Bucket(
+                    data={k: jnp.asarray(v) for k, v in d.items()},
+                    rows=np.arange(n))]
 
         loss_cfg = LossConfig(add_l2_loss=opt.add_l2_loss)
         self.train_step = make_train_step(
@@ -498,8 +505,17 @@ def build_model(opt: RunOptions, memory: Memory, tokenizer):
     n_top, n_bottom = memory.n_top, memory.n_bottom
     cfg = ModelConfig(encoder=enc_cfg, n_top=n_top, n_bottom=n_bottom,
                       head_dropout=opt.dropout)
-    rng = jax.random.PRNGKey(opt.random_seed)
-    params = init_model_params(rng, cfg)
+    # init on the CPU backend: the init graph is dozens of tiny compiles
+    # that would each round-trip the remote TPU compiler; the Trainer
+    # device_puts the tree onto the mesh afterwards
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    with jax.default_device(cpu) if cpu is not None else \
+            contextlib.nullcontext():
+        rng = jax.random.PRNGKey(opt.random_seed)
+        params = init_model_params(rng, cfg)
     if enc_params is not None:
-        params["encoder"] = jax.tree.map(jnp.asarray, enc_params)
+        params["encoder"] = enc_params
     return cfg, params
