@@ -1,0 +1,20 @@
+# Convenience targets; everything also works without make.
+
+.PHONY: test native bench smoke clean
+
+test:
+	python -m pytest tests/ -q
+
+native:
+	python -c "from nbest_asr_tpu.data.native_loader import build_library; \
+	           print(build_library(force=True) or 'no toolchain')"
+
+bench:
+	python bench.py
+
+smoke:
+	python tools/quality_smoke.py --epochs 30
+
+clean:
+	rm -rf native/build .jax_cache
+	find . -name __pycache__ -type d -exec rm -rf {} +
