@@ -30,7 +30,7 @@ def main() -> int:
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--out", default="/tmp/quality_smoke")
     ap.add_argument("--n_layers", type=int, default=4)
-    ap.add_argument("--lr", type=float, default=5e-4)
+    ap.add_argument("--lr", type=float, default=2e-4)
     args = ap.parse_args()
 
     valid_path = os.path.join(REF_RAW, "valid")
