@@ -108,7 +108,10 @@ def main() -> None:
         hidden_dropout=opt.bert_dropout, attn_dropout=opt.bert_dropout)
     cfg = ModelConfig(encoder=enc, n_top=memory.n_top,
                       n_bottom=memory.n_bottom)
-    params = init_model_params(jax.random.PRNGKey(0), cfg)
+    # init on the CPU backend: dozens of tiny init compiles would each
+    # round-trip the remote TPU compiler (the Trainer device_puts the tree)
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = init_model_params(jax.random.PRNGKey(0), cfg)
 
     trainer = Trainer(opt, memory, cfg, params, {"train": packed})
 

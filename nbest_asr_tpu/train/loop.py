@@ -219,9 +219,11 @@ class Trainer:
         shardings = param_shardings(params, self.mesh,
                                     tensor_parallel=opt.n_model_parallel > 1)
         params = jax.device_put(params, shardings)
+        # jit the optimizer init: eager tree_map(zeros_like) is ~30 tiny
+        # dispatches, each a round-trip through the remote TPU compiler
         self.state = TrainState(
             params=params,
-            opt_state=self.optimizer.init(params),
+            opt_state=jax.jit(self.optimizer.init)(params),
             step=jnp.zeros([], jnp.int32),
         )
         self._rng = jax.random.PRNGKey(opt.random_seed)
