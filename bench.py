@@ -5,7 +5,7 @@ DSTC2 valid shard (3,560 utterances): offline-packed inputs, length
 bucketing, jitted train step (BERT-base-sized encoder 12L/768H/12 heads,
 hierarchical head over the real 30/161 label hierarchy, BertAdam update,
 on-device metrics), bf16 compute, rbg dropout PRNG — the configuration a
-`--compute_dtype bfloat16 --length_buckets 96,160,256` CLI run uses.
+`--compute_dtype bfloat16 --length_buckets 64,96,160,256` CLI run uses.
 
 Baseline: the reference publishes no throughput numbers (SURVEY.md §6).
 BASELINE.md's target is >=10x the reference single-GPU fine-tune rate.  We
@@ -98,7 +98,7 @@ def main() -> None:
         dataset="dstc2", dataroot="bench", batchSize=32,
         max_epoch=50, optim_choice="bertadam", lr=3e-5, bert_lr=3e-5,
         bert_dropout=0.1, compute_dtype="bfloat16",
-        length_buckets="96,160,256", experiment="/tmp/bench_exp")
+        length_buckets="64,96,160,256", experiment="/tmp/bench_exp")
     opt.exp_dir = "/tmp/bench_exp"
 
     # BERT-base-sized encoder; the word-vocab ids index a 30522 table so

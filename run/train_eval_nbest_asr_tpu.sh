@@ -23,4 +23,4 @@ python -m nbest_asr_tpu.cli \
   --max_epoch 50 \
   --random_seed "${SEED}" \
   --compute_dtype bfloat16 \
-  --length_buckets 96,160,256
+  --length_buckets 64,96,160,256
