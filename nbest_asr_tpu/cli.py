@@ -114,7 +114,11 @@ def main(argv=None) -> int:
     random.seed(opt.random_seed)
     np.random.seed(opt.random_seed)
 
-    memory = resolve_memory(opt)
+    try:
+        memory = resolve_memory(opt)
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     tokenizer = load_tokenizer(opt.pre_trained_model,
                                opt.tod_pre_trained_model, memory)
     splits = prepare_packed_splits(opt, memory, tokenizer)

@@ -12,6 +12,9 @@ def make_logger(fn: str, no_stdout: bool = False,
     formatter = logging.Formatter("%(message)s")
     logger = logging.getLogger(name)
     logger.setLevel(logging.DEBUG)
+    # this environment configures a root handler; without this every
+    # metric line prints twice (once more with an INFO: prefix)
+    logger.propagate = False
     logger.handlers.clear()
     fh = logging.FileHandler(fn, mode="w")
     fh.setFormatter(formatter)
