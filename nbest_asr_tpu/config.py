@@ -89,6 +89,13 @@ class RunOptions:
     memory_file: str = "memory.json"      # memory.pt also accepted
     native_loader: bool = True            # C++ shard loader when built
     eval_batch: Optional[int] = None      # defaults to the train micro_b
+    steps_per_call: int = 1               # chain K optimizer steps into
+    # one compiled call (lax.scan) to amortize per-dispatch latency
+    token_budget: Optional[int] = None    # per-bucket batch sizing: pick
+    # each bucket's micro-batch as ~token_budget/bucket_len (rounded to
+    # 8, never below the parity micro-batch).  NOT reference-parity: the
+    # effective optimizer batch varies per bucket; validated for quality
+    # on the smoke split (QUALITY.md) before use
     checkpoint_every: int = 0             # extra periodic ckpt (epochs)
     resume: Optional[str] = None          # checkpoint dir to resume from
     profile_dir: Optional[str] = None     # jax.profiler trace of epoch 1
@@ -202,6 +209,8 @@ def parse_arguments(argv=None) -> RunOptions:
                    action="store_false")
     p.set_defaults(native_loader=True)
     p.add_argument("--eval_batch", type=int, default=None)
+    p.add_argument("--steps_per_call", type=int, default=d.steps_per_call)
+    p.add_argument("--token_budget", type=int, default=None)
     p.add_argument("--checkpoint_every", type=int, default=0)
     p.add_argument("--resume", default=None)
     p.add_argument("--profile_dir", default=None)

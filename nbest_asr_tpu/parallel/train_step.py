@@ -80,16 +80,24 @@ def _forward_and_loss(params, cfg: ModelConfig, loss_cfg: LossConfig,
 def make_train_step(cfg: ModelConfig, loss_cfg: LossConfig, optimizer,
                     hier: Dict[str, jnp.ndarray], *, n_accum: int = 1,
                     mesh: Optional[Mesh] = None, dual_stream: bool = True,
-                    donate: bool = True):
+                    donate: bool = True, steps_per_call: int = 1):
     """Returns ``train_step(state, data, idx, rng) -> (state, stats)``.
 
     - ``data``: device-resident dict of full-split arrays (input_ids,
       attn_mask, segment_ids, trans_*, labels, example_mask).
-    - ``idx``: (n_accum, micro_b) int32 row indices for this step.
-    - ``stats``: loss parts (summed over micros) + f1 counter dict.
+    - ``idx``: (n_accum, micro_b) int32 row indices for this step — or
+      (steps_per_call, n_accum, micro_b) when step chaining is on.
+    - ``stats``: loss parts (summed over micros/steps) + f1 counters.
+
+    ``steps_per_call > 1`` chains K optimizer steps into one compiled
+    call via `lax.scan` — the classic TPU train-loop-on-device pattern.
+    On this environment each dispatch rides a network tunnel to the
+    chip, so chaining amortizes per-call latency across K steps.  The
+    math is identical to K single calls (verified by test): the
+    per-step rngs come from `jax.random.split(rng, K)`.
     """
 
-    def train_step(state: TrainState, data, idx, rng):
+    def single_step(state: TrainState, data, idx, rng):
         def micro_grads(micro_idx_and_i):
             micro_idx, i = micro_idx_and_i
             micro = _gather_micro(data, micro_idx, mesh)
@@ -135,6 +143,20 @@ def make_train_step(cfg: ModelConfig, loss_cfg: LossConfig, optimizer,
         new_state = TrainState(params=params, opt_state=opt_state,
                                step=state.step + 1)
         return new_state, {"loss": parts, "counts": counts}
+
+    if steps_per_call == 1:
+        train_step = single_step
+    else:
+        def train_step(state: TrainState, data, idx, rng):
+            rngs = jax.random.split(rng, steps_per_call)
+
+            def body(st, xs):
+                step_idx, step_rng = xs
+                return single_step(st, data, step_idx, step_rng)
+
+            state, stats_seq = jax.lax.scan(body, state, (idx, rngs))
+            stats = jax.tree.map(lambda x: jnp.sum(x, axis=0), stats_seq)
+            return state, stats
 
     donate_argnums = (0,) if donate else ()
     return jax.jit(train_step, donate_argnums=donate_argnums)

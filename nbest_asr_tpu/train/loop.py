@@ -211,6 +211,13 @@ class Trainer:
             model_cfg, loss_cfg, self.optimizer, self.hier,
             n_accum=opt.n_accum_steps, mesh=self.mesh,
             dual_stream=True)
+        self.steps_per_call = max(1, opt.steps_per_call)
+        self.train_step_chain = None
+        if self.steps_per_call > 1:
+            self.train_step_chain = make_train_step(
+                model_cfg, loss_cfg, self.optimizer, self.hier,
+                n_accum=opt.n_accum_steps, mesh=self.mesh,
+                dual_stream=True, steps_per_call=self.steps_per_call)
         self.eval_step = make_eval_step(
             model_cfg, loss_cfg, self.hier, mesh=self.mesh,
             dual_stream=False)
@@ -235,29 +242,51 @@ class Trainer:
 
     def run_train_epoch(self) -> EpochMetrics:
         opt = self.opt
-        # per-bucket step plans (bucket-local indices), shuffled globally
-        plans = []  # (bucket, idx (n_accum, micro_b))
+        K = self.steps_per_call
+        # per-bucket step plans (bucket-local indices): chains of K
+        # consecutive optimizer steps per compiled call, leftovers as
+        # single-step calls; chain/step order shuffled globally
+        plans = []  # ("chain"|"single", bucket, idx)
+        n_rows_total = 0
         for bucket in self.buckets["train"]:
+            micro_b = self._bucket_micro_batch(bucket)
             perm = self._shuffle_rng.permutation(len(bucket))
             try:
-                idx = _epoch_step_indices(len(bucket), opt.micro_batch,
+                idx = _epoch_step_indices(len(bucket), micro_b,
                                           opt.n_accum_steps, perm)
             except ValueError:
                 continue  # bucket smaller than one accumulation group
-            for s in range(idx.shape[0]):
-                plans.append((bucket, idx[s]))
+            n_steps = idx.shape[0]
+            n_rows_total += n_steps * opt.n_accum_steps * micro_b
+            n_chains = n_steps // K if K > 1 else 0
+            for c in range(n_chains):
+                plans.append(("chain", bucket, idx[c * K:(c + 1) * K]))
+            for s in range(n_chains * K, n_steps):
+                plans.append(("single", bucket, idx[s]))
         self._shuffle_rng.shuffle(plans)
 
         stats_acc = None
-        for bucket, idx_s in plans:
+        for kind, bucket, idx_s in plans:
             self._rng, step_rng = jax.random.split(self._rng)
-            self.state, stats = self.train_step(
-                self.state, bucket.data, jnp.asarray(idx_s), step_rng)
+            fn = self.train_step_chain if kind == "chain" else \
+                self.train_step
+            self.state, stats = fn(self.state, bucket.data,
+                                   jnp.asarray(idx_s), step_rng)
             stats_acc = stats if stats_acc is None else jax.tree.map(
                 jnp.add, stats_acc, stats)
         stats = jax.device_get(stats_acc)
-        n_micros = len(plans) * opt.n_accum_steps
-        return self._metrics_from_counts(stats, n_micros * opt.micro_batch)
+        return self._metrics_from_counts(stats, n_rows_total)
+
+    def _bucket_micro_batch(self, bucket: _Bucket) -> int:
+        """Micro-batch for one bucket: the parity batch by default; under
+        --token_budget, ~budget/bucket_len rounded to a multiple of 8
+        (never below the parity micro-batch)."""
+        opt = self.opt
+        if not opt.token_budget:
+            return opt.micro_batch
+        blen = int(bucket.data["input_ids"].shape[1])
+        b = max(opt.micro_batch, (opt.token_budget // blen) // 8 * 8)
+        return max(b, 1)
 
     def run_eval_epoch(self, split: str, epoch: int = 0,
                        dump_prefix: Optional[str] = None
@@ -269,14 +298,18 @@ class Trainer:
 
         pred_mh = np.zeros((n, self.memory.n_bottom), dtype=bool)
         loss_sum = 0.0
-        n_batches_total = 0
+        rows_total = 0
         for bucket in self.buckets[split]:
             nb = len(bucket)
-            n_batches = -(-nb // eval_b)
-            padded = np.full((n_batches * eval_b,), nb, dtype=np.int32)
+            b_eval = eval_b
+            if opt.token_budget:
+                blen = int(bucket.data["input_ids"].shape[1])
+                b_eval = max(eval_b, (opt.token_budget // blen) // 8 * 8)
+            n_batches = -(-nb // b_eval)
+            padded = np.full((n_batches * b_eval,), nb, dtype=np.int32)
             padded[:nb] = np.arange(nb, dtype=np.int32)
             bucket_preds = []
-            for bidx in padded.reshape(n_batches, eval_b):
+            for bidx in padded.reshape(n_batches, b_eval):
                 out = self.eval_step(self.state.params, bucket.data,
                                      jnp.asarray(bidx))
                 bucket_preds.append(out["pred"])
@@ -284,13 +317,12 @@ class Trainer:
             bp = np.concatenate(
                 [np.asarray(p) for p in bucket_preds])[:nb]
             pred_mh[bucket.rows] = bp
-            n_batches_total += n_batches
-        n_batches = max(n_batches_total, 1)
+            rows_total += n_batches * b_eval
 
         (p, r, f), acc, pred_strings, golds = host_eval_metrics(
             pred_mh, packed.raw_labels, self.memory.idx2label,
             ontology=opt.ontology)
-        mean_loss = loss_sum / max(n_batches, 1) / eval_b
+        mean_loss = loss_sum / max(rows_total, 1)
 
         raw_inputs = [" ".join(s) for s in packed.raw_asr]
         matches = [set(pc) == set(g) for pc, g in

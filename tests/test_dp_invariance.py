@@ -97,3 +97,42 @@ def test_dp4_tp2_matches_single_device(tiny_memory):
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p42)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-5, rtol=2e-5)
+
+
+def test_step_chaining_matches_single_steps(tiny_memory):
+    """K-chained train step == K sequential single steps with the rngs
+    from jax.random.split (exact math equality)."""
+    mem, hier, cfg, params, data = _setup(tiny_memory)
+    mesh = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+    opt_cfg = OptimizerConfig(optim_choice="bertadam", lr=1e-3,
+                              bert_lr=1e-3, t_total=100)
+
+    def fresh_state(optimizer):
+        p = jax.device_put(params, param_shardings(params, mesh, False))
+        return TrainState(params=p, opt_state=optimizer.init(p),
+                          step=jnp.zeros([], jnp.int32))
+
+    K = 3
+    idx = jnp.asarray(
+        np.arange(16, dtype=np.int32).reshape(2, 8)[None].repeat(K, 0))
+    rng = jax.random.PRNGKey(11)
+
+    opt1 = make_optimizer(opt_cfg, params)
+    step1 = make_train_step(cfg, LossConfig(), opt1, hier, n_accum=2,
+                            mesh=mesh, dual_stream=True, donate=False)
+    s1 = fresh_state(opt1)
+    rngs = jax.random.split(rng, K)
+    for i in range(K):
+        s1, st1 = step1(s1, data, idx[i], rngs[i])
+
+    optK = make_optimizer(opt_cfg, params)
+    stepK = make_train_step(cfg, LossConfig(), optK, hier, n_accum=2,
+                            mesh=mesh, dual_stream=True, donate=False,
+                            steps_per_call=K)
+    sK = fresh_state(optK)
+    sK, stK = stepK(sK, data, idx, rng)
+
+    assert int(sK.step) == int(s1.step) == K
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(sK.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)

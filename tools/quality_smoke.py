@@ -31,6 +31,7 @@ def main() -> int:
     ap.add_argument("--out", default="/tmp/quality_smoke")
     ap.add_argument("--n_layers", type=int, default=4)
     ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--token_budget", type=int, default=None)
     args = ap.parse_args()
 
     valid_path = os.path.join(REF_RAW, "valid")
@@ -73,7 +74,8 @@ def main() -> int:
         "--length_buckets", "96,160,256",
         "--add_segment_ids",
         "--experiment", os.path.join(args.out, "exp"),
-    ])
+    ] + (["--token_budget", str(args.token_budget)]
+         if args.token_budget else []))
     wall = time.time() - t0
     if rc != 0:
         return rc
