@@ -32,6 +32,10 @@ def main() -> int:
     ap.add_argument("--n_layers", type=int, default=4)
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--token_budget", type=int, default=None)
+    ap.add_argument("--md_out", default=None,
+                    help="write the markdown summary here (default: "
+                    "<out>/QUALITY.md; the repo-root QUALITY.md is "
+                    "curated by hand from these runs)")
     args = ap.parse_args()
 
     valid_path = os.path.join(REF_RAW, "valid")
@@ -88,7 +92,7 @@ def main() -> int:
                 best = json.load(fp)
     assert best is not None
 
-    md = os.path.join(REPO, "QUALITY.md")
+    md = args.md_out or os.path.join(args.out, "QUALITY.md")
     with open(md, "w") as fp:
         fp.write(
             "# Quality smoke (from-scratch, valid-shard 80/10/10)\n\n"
