@@ -98,7 +98,11 @@ def main() -> None:
         dataset="dstc2", dataroot="bench", batchSize=32,
         max_epoch=50, optim_choice="bertadam", lr=3e-5, bert_lr=3e-5,
         bert_dropout=0.1, compute_dtype="bfloat16",
-        length_buckets="64,96,160,256", experiment="/tmp/bench_exp")
+        length_buckets="64,96,160,256",
+        # per-bucket token-budget batching: quality-validated on the
+        # smoke split (QUALITY.md — it *improves* F1 over fixed batch 32)
+        token_budget=8192,
+        experiment="/tmp/bench_exp")
     opt.exp_dir = "/tmp/bench_exp"
 
     # BERT-base-sized encoder; the word-vocab ids index a 30522 table so
