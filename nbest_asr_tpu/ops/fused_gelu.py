@@ -52,7 +52,7 @@ def _bwd_kernel(x_ref, b_ref, dy_ref, dx_ref):
     dx_ref[...] = dx.astype(dx_ref.dtype)
 
 
-def _call(kernel, n_out, x2, b2, *extra):
+def _call(kernel, x2, b2, *extra):
     n, h = x2.shape
     bn = min(BLOCK_ROWS, n)
     bh = min(h, 1024)  # block columns too: (256, 3072) blocks blow VMEM
@@ -72,16 +72,16 @@ def _call(kernel, n_out, x2, b2, *extra):
 
 @functools.partial(jax.custom_vjp)
 def _fused_gelu_2d(x, b):
-    return _call(_fwd_kernel, 1, x, b)
+    return _call(_fwd_kernel, x, b)
 
 
 def _fused_gelu_2d_fwd(x, b):
-    return _call(_fwd_kernel, 1, x, b), (x, b)
+    return _call(_fwd_kernel, x, b), (x, b)
 
 
 def _fused_gelu_2d_bwd(res, dy):
     x, b = res
-    dx = _call(_bwd_kernel, 1, x, b, dy)
+    dx = _call(_bwd_kernel, x, b, dy)
     db = jnp.sum(dx.astype(jnp.float32), axis=0)
     return dx, db
 

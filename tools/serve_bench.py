@@ -1,0 +1,86 @@
+"""Serving benchmark: batch-inference latency/throughput of the
+Predictor on real DSTC2 utterances (one TPU chip).
+
+The reference has no serving path at all (its only inference is the
+`--testing` file re-evaluation).  This measures the production surface:
+jitted single-stream forward + on-device decode, host string mapping.
+
+Run: python tools/serve_bench.py [--batch 64] [--max_len 256]
+Prints one JSON line with latency p50/p95 (ms/batch) and utterances/sec.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+REF_RAW = "/root/reference/dstc2_data/processed_data/raw"
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--max_len", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=30)
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    jax.config.update("jax_default_prng_impl", "rbg")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from nbest_asr_tpu.data.dataset import read_sep_data
+    from nbest_asr_tpu.data.tokenizer import WordVocabTokenizer
+    from nbest_asr_tpu.data.vocab import Memory
+    from nbest_asr_tpu.models.encoder import EncoderConfig
+    from nbest_asr_tpu.models.model import ModelConfig, init_model_params
+    from nbest_asr_tpu.serve import Predictor
+
+    memory = Memory.from_torch_pt(os.path.join(REF_RAW, "memory.pt"))
+    tok = WordVocabTokenizer(memory)
+    split = read_sep_data(os.path.join(REF_RAW, "valid"))
+
+    enc = EncoderConfig.bert_base(vocab_size=30522,
+                                  compute_dtype="bfloat16")
+    cfg = ModelConfig(encoder=enc, n_top=memory.n_top,
+                      n_bottom=memory.n_bottom)
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = init_model_params(jax.random.PRNGKey(0), cfg)
+    # commit explicitly to the accelerator: CPU-initialized params stay
+    # CPU-committed otherwise, and jit would follow them onto the host
+    params = jax.device_put(params, jax.devices()[0])
+
+    pred = Predictor(params, cfg, memory, tok, batch_size=args.batch,
+                     max_len=args.max_len)
+
+    utts = [" ".join(s) for s in split.asr_seqs[: args.batch]]
+    pred.predict(utts)  # compile + warmup
+
+    lat = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        out = pred.predict(utts)
+        lat.append(time.perf_counter() - t0)
+    lat_ms = np.asarray(lat) * 1000
+    print(json.dumps({
+        "metric": "dstc2_serving",
+        "batch": args.batch,
+        "latency_p50_ms": round(float(np.percentile(lat_ms, 50)), 2),
+        "latency_p95_ms": round(float(np.percentile(lat_ms, 95)), 2),
+        "utterances_per_sec": round(
+            args.batch / (lat_ms.mean() / 1000), 1),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
