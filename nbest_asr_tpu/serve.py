@@ -34,6 +34,14 @@ class Predictor:
                  tokenizer: BaseTokenizer, *, layout: str = "default",
                  use_segments: bool = False, batch_size: int = 16,
                  max_len: int = 256):
+        # CPU-committed params (e.g. host-side init) would silently pull
+        # the jitted forward onto the host; move them to the accelerator
+        leaves = jax.tree.leaves(params)
+        if leaves and hasattr(leaves[0], "sharding") and \
+                jax.default_backend() != "cpu":
+            devs = getattr(leaves[0].sharding, "device_set", set())
+            if devs and all(d.platform == "cpu" for d in devs):
+                params = jax.device_put(params, jax.devices()[0])
         self.params = params
         self.cfg = cfg
         self.memory = memory
