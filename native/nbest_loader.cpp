@@ -178,15 +178,13 @@ const char* nbl_error(void* handle) {
   return static_cast<Loader*>(handle)->error.c_str();
 }
 
-// Parse + tokenize a shard.  Returns n_rows, or -1 on error.
-int32_t nbl_load(void* handle, const char* shard_path, int32_t layout) {
-  auto* L = static_cast<Loader*>(handle);
+}  // extern "C"
+
+namespace {
+
+// Shared parse loop over an input stream (file or in-memory buffer).
+int32_t parse_stream(Loader* L, std::istream& f, int32_t layout) {
   L->rows.clear();
-  std::ifstream f(shard_path);
-  if (!f) {
-    L->error = "cannot open shard";
-    return -1;
-  }
   std::string line;
   while (std::getline(f, line)) {
     while (!line.empty() && (line.back() == '\n' || line.back() == '\r'))
@@ -219,6 +217,29 @@ int32_t nbl_load(void* handle, const char* shard_path, int32_t layout) {
     L->rows.push_back(std::move(row));
   }
   return static_cast<int32_t>(L->rows.size());
+}
+
+}  // namespace
+
+extern "C" {
+
+// Parse + tokenize a shard file.  Returns n_rows, or -1 on error.
+int32_t nbl_load(void* handle, const char* shard_path, int32_t layout) {
+  auto* L = static_cast<Loader*>(handle);
+  std::ifstream f(shard_path);
+  if (!f) {
+    L->error = "cannot open shard";
+    return -1;
+  }
+  return parse_stream(L, f, layout);
+}
+
+// Parse + tokenize newline-separated records from an in-memory buffer —
+// the zero-file serving path (Predictor feeds utterances directly).
+int32_t nbl_load_buffer(void* handle, const char* text, int32_t layout) {
+  auto* L = static_cast<Loader*>(handle);
+  std::istringstream f(text);
+  return parse_stream(L, f, layout);
 }
 
 // Longest sequence over both streams (for max_len sizing).

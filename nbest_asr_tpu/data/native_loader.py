@@ -7,6 +7,11 @@ library.  The Python word-vocab path (`input_builder.pack_split`) remains
 the correctness oracle and the fallback when no C++ toolchain exists; a
 parity test pins the two together.
 
+Two entry points share one persistent `NativePacker` handle:
+- ``pack_file``  — shard file -> PackedSplit (ETL/training path)
+- ``pack_lines`` — in-memory records -> PackedSplit (serving path; no
+  filesystem touch, `nbl_load_buffer`)
+
 Scope: word-vocab tokenization only (HF subword tokenizers stay in Python
 — they are run offline exactly once, so they are not hot).
 """
@@ -17,7 +22,7 @@ import ctypes
 import os
 import subprocess
 import tempfile
-from typing import Optional
+from typing import List, Optional, Sequence
 
 import numpy as np
 
@@ -70,6 +75,9 @@ def _load_lib() -> Optional[ctypes.CDLL]:
     lib.nbl_load.restype = ctypes.c_int32
     lib.nbl_load.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
                              ctypes.c_int32]
+    lib.nbl_load_buffer.restype = ctypes.c_int32
+    lib.nbl_load_buffer.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                    ctypes.c_int32]
     lib.nbl_max_len.restype = ctypes.c_int32
     lib.nbl_max_len.argtypes = [ctypes.c_void_p]
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
@@ -89,73 +97,120 @@ def native_available() -> bool:
     return _load_lib() is not None
 
 
-def pack_file_native(shard_path: str, memory: Memory,
-                     tokenizer: WordVocabTokenizer,
-                     layout: str = "default",
-                     max_len: Optional[int] = None,
-                     len_multiple: int = 8) -> PackedSplit:
-    """Shard file -> PackedSplit through the C++ loader."""
-    lib = _load_lib()
-    if lib is None:
-        raise RuntimeError("native loader unavailable (no g++?)")
+class NativePacker:
+    """Persistent handle over the C++ loader (vocab/labels loaded once)."""
 
-    with tempfile.TemporaryDirectory() as td:
-        vocab_path = os.path.join(td, "vocab.tsv")
-        with open(vocab_path, "w") as fp:
-            for w, i in tokenizer.vocab.items():
-                fp.write(f"{w}\t{i}\n")
-        label_path = os.path.join(td, "labels.tsv")
-        with open(label_path, "w") as fp:
-            for l, i in memory.label2idx.items():
-                fp.write(f"{l}\t{i}\n")
+    def __init__(self, memory: Memory, tokenizer: WordVocabTokenizer,
+                 layout: str = "default"):
+        lib = _load_lib()
+        if lib is None:
+            raise RuntimeError("native loader unavailable (no g++?)")
+        self._lib = lib
+        self._memory = memory
+        self._layout = _LAYOUTS[layout]
+        self._n_labels = memory.n_bottom
+        self._pad_id = tokenizer.pad_token_id
+        with tempfile.TemporaryDirectory() as td:
+            vocab_path = os.path.join(td, "vocab.tsv")
+            with open(vocab_path, "w") as fp:
+                for w, i in tokenizer.vocab.items():
+                    fp.write(f"{w}\t{i}\n")
+            label_path = os.path.join(td, "labels.tsv")
+            with open(label_path, "w") as fp:
+                for l, i in memory.label2idx.items():
+                    fp.write(f"{l}\t{i}\n")
+            sep_id = tokenizer.vocab[tokenizer.sep_token]
+            self._h = lib.nbl_create(
+                vocab_path.encode(), label_path.encode(),
+                tokenizer.pad_token_id, 1,
+                tokenizer.vocab[tokenizer.cls_token], sep_id,
+                1 if tokenizer.double_sep else 0)
+        err = lib.nbl_error(self._h).decode()
+        if err:
+            lib.nbl_destroy(self._h)
+            self._h = None
+            raise RuntimeError(f"native loader: {err}")
+        self._with_segments = 0 if layout == "no_system_act" else 1
 
-        sep_id = tokenizer.vocab[tokenizer.sep_token]
-        h = lib.nbl_create(vocab_path.encode(), label_path.encode(),
-                           tokenizer.pad_token_id, 1,
-                           tokenizer.vocab[tokenizer.cls_token], sep_id,
-                           1 if tokenizer.double_sep else 0)
-    err = lib.nbl_error(h).decode()
-    if err:
-        lib.nbl_destroy(h)
-        raise RuntimeError(f"native loader: {err}")
+    def __del__(self):
+        if getattr(self, "_h", None) is not None:
+            self._lib.nbl_destroy(self._h)
+            self._h = None
 
-    try:
-        n = lib.nbl_load(h, shard_path.encode(), _LAYOUTS[layout])
-        if n < 0:
-            raise RuntimeError(f"native loader: {lib.nbl_error(h).decode()}")
+    # ------------------------------------------------------------------ #
+    def _pack_loaded(self, n: int, max_len: Optional[int],
+                     len_multiple: int, raw_asr) -> PackedSplit:
+        lib = self._lib
         if max_len is None:
-            max_len = round_up(int(lib.nbl_max_len(h)), len_multiple)
-
-        n_labels = memory.n_bottom
+            max_len = round_up(int(lib.nbl_max_len(self._h)), len_multiple)
         ids = np.empty((n, max_len), np.int32)
         segs = np.empty((n, max_len), np.int32)
         mask = np.empty((n, max_len), np.float32)
         t_ids = np.empty((n, max_len), np.int32)
         t_segs = np.empty((n, max_len), np.int32)
         t_mask = np.empty((n, max_len), np.float32)
-        labels = np.empty((n, n_labels), np.float32)
-        with_segs = 0 if layout == "no_system_act" else 1
-        got = lib.nbl_pack(h, max_len, n_labels, with_segs, ids, segs,
-                           mask, t_ids, t_segs, t_mask, labels)
+        labels = np.empty((n, self._n_labels), np.float32)
+        got = lib.nbl_pack(self._h, max_len, self._n_labels,
+                           self._with_segments, ids, segs, mask, t_ids,
+                           t_segs, t_mask, labels)
         assert got == n
-
         raw_labels = []
         for i in range(n):
-            s = lib.nbl_labels(h, i).decode()
+            s = lib.nbl_labels(self._h, i).decode()
             raw_labels.append(s.split(";") if s else [])
-    finally:
-        lib.nbl_destroy(h)
+        return PackedSplit(
+            input_ids=ids, segment_ids=segs, attn_mask=mask,
+            trans_input_ids=t_ids, trans_segment_ids=t_segs,
+            trans_attn_mask=t_mask, labels=labels,
+            raw_asr=raw_asr, raw_labels=raw_labels, max_len=max_len)
 
-    # raw_asr strings are only needed for eval dumps; reread lazily
-    raw_asr = []
-    with open(shard_path) as fp:
-        for line in fp:
-            parts = line.strip("\n\r").split("\t<=>\t")
-            if len(parts) == 3:
-                raw_asr.append(parts[0].strip().split(" "))
+    def pack_file(self, shard_path: str, max_len: Optional[int] = None,
+                  len_multiple: int = 8) -> PackedSplit:
+        n = self._lib.nbl_load(self._h, shard_path.encode(), self._layout)
+        if n < 0:
+            raise RuntimeError(
+                f"native loader: {self._lib.nbl_error(self._h).decode()}")
+        raw_asr = []
+        with open(shard_path) as fp:
+            for line in fp:
+                parts = line.strip("\n\r").split("\t<=>\t")
+                if len(parts) == 3:
+                    raw_asr.append(parts[0].strip().split(" "))
+        return self._pack_loaded(n, max_len, len_multiple, raw_asr)
 
-    return PackedSplit(
-        input_ids=ids, segment_ids=segs, attn_mask=mask,
-        trans_input_ids=t_ids, trans_segment_ids=t_segs,
-        trans_attn_mask=t_mask, labels=labels,
-        raw_asr=raw_asr, raw_labels=raw_labels, max_len=max_len)
+    def pack_lines(self, asr_seqs: Sequence[Sequence[str]],
+                   trans_seqs: Optional[Sequence[Sequence[str]]] = None,
+                   labels: Optional[Sequence[Sequence[str]]] = None,
+                   max_len: Optional[int] = None,
+                   len_multiple: int = 8) -> PackedSplit:
+        """In-memory records -> PackedSplit (serving path, no files)."""
+        if trans_seqs is None:
+            trans_seqs = asr_seqs
+        if labels is None:
+            labels = [[] for _ in asr_seqs]
+        buf = "".join(
+            "%s\t<=>\t%s\t<=>\t%s\n" % (" ".join(a), " ".join(t),
+                                        ";".join(l))
+            for a, t, l in zip(asr_seqs, trans_seqs, labels))
+        n = self._lib.nbl_load_buffer(self._h, buf.encode(), self._layout)
+        if n < 0:
+            raise RuntimeError(
+                f"native loader: {self._lib.nbl_error(self._h).decode()}")
+        if n != len(asr_seqs):
+            # the C++ parser skips malformed records; for in-memory input
+            # that would silently misalign outputs with inputs
+            raise ValueError(
+                f"{len(asr_seqs) - n} malformed records (missing [USR] "
+                "marker or embedded newlines/tabs)")
+        return self._pack_loaded(n, max_len, len_multiple,
+                                 [list(a) for a in asr_seqs])
+
+
+def pack_file_native(shard_path: str, memory: Memory,
+                     tokenizer: WordVocabTokenizer,
+                     layout: str = "default",
+                     max_len: Optional[int] = None,
+                     len_multiple: int = 8) -> PackedSplit:
+    """One-shot wrapper (training/CLI path)."""
+    packer = NativePacker(memory, tokenizer, layout)
+    return packer.pack_file(shard_path, max_len, len_multiple)

@@ -33,7 +33,8 @@ class Predictor:
     def __init__(self, params: dict, cfg: ModelConfig, memory: Memory,
                  tokenizer: BaseTokenizer, *, layout: str = "default",
                  use_segments: bool = False, batch_size: int = 16,
-                 max_len: int = 256):
+                 max_len: int = 256,
+                 bucket_lens: tuple = (64, 96, 160, 256)):
         # CPU-committed params (e.g. host-side init) would silently pull
         # the jitted forward onto the host; move them to the accelerator
         leaves = jax.tree.leaves(params)
@@ -50,7 +51,25 @@ class Predictor:
         self.use_segments = use_segments
         self.batch_size = batch_size
         self.max_len = max_len
+        # serve-side length buckets: each call packs to the smallest
+        # bucket that fits its longest utterance (one compile per bucket,
+        # short batches run up to ~4x faster than fixed max_len)
+        self.bucket_lens = sorted(
+            {min(b, max_len) for b in bucket_lens} | {max_len})
         self.hier = hierarchy_device_arrays(memory.arrays())
+
+        # native (C++) in-memory packer for the word-vocab tokenizer —
+        # host packing dominates serving latency otherwise
+        self._native = None
+        from .data.tokenizer import WordVocabTokenizer
+
+        if isinstance(tokenizer, WordVocabTokenizer):
+            try:
+                from .data.native_loader import NativePacker
+
+                self._native = NativePacker(memory, tokenizer, layout)
+            except Exception:
+                self._native = None
 
         def fwd(params, input_ids, attn_mask, segment_ids):
             top, probs, final, _, _ = model_forward(
@@ -61,17 +80,35 @@ class Predictor:
         self._fwd = jax.jit(fwd)
 
     # ------------------------------------------------------------------ #
+    def _pack(self, seqs):
+        """Pack to the smallest serve bucket that fits (single-stream:
+        dummy transcript/labels).  Uses the native in-memory packer when
+        built; Python packer otherwise."""
+        def do_pack(max_len):
+            if self._native is not None:
+                return self._native.pack_lines(seqs, max_len=max_len)
+            split = RawSplit(asr_seqs=seqs, trans_seqs=seqs,
+                             labels=[[] for _ in seqs])
+            return pack_split(split, self.tokenizer, self.memory,
+                              layout=self.layout, max_len=max_len)
+
+        packed = do_pack(None)
+        target = self.max_len
+        for b in self.bucket_lens:
+            if packed.max_len <= b:
+                target = b
+                break
+        if packed.max_len != target:
+            packed = do_pack(target)
+        return packed
+
     def predict(self, utterances: Sequence[Union[str, Sequence[str]]]
                 ) -> List[List[str]]:
         """Raw serialized utterances -> per-utterance label lists."""
         seqs = [u.split() if isinstance(u, str) else list(u)
                 for u in utterances]
         n = len(seqs)
-        # pack with dummy transcript/labels (single-stream inference)
-        split = RawSplit(asr_seqs=seqs, trans_seqs=seqs,
-                         labels=[[] for _ in seqs])
-        packed = pack_split(split, self.tokenizer, self.memory,
-                            layout=self.layout, max_len=self.max_len)
+        packed = self._pack(seqs)
 
         segs = packed.segment_ids if self.use_segments else \
             np.zeros_like(packed.segment_ids)
@@ -97,10 +134,7 @@ class Predictor:
         softmax composition, ref hierarchical_classifier.py:50-58)."""
         seqs = [u.split() if isinstance(u, str) else list(u)
                 for u in utterances]
-        split = RawSplit(asr_seqs=seqs, trans_seqs=seqs,
-                         labels=[[] for _ in seqs])
-        packed = pack_split(split, self.tokenizer, self.memory,
-                            layout=self.layout, max_len=self.max_len)
+        packed = self._pack(seqs)
         segs = packed.segment_ids if self.use_segments else \
             np.zeros_like(packed.segment_ids)
         _, final = self._fwd(self.params,

@@ -54,3 +54,40 @@ def test_native_auto_max_len(ref_valid_path, ref_memory, tmp_path):
     py = pack_split(read_sep_data(sub_path), tok, ref_memory)
     assert nat.max_len == py.max_len
     np.testing.assert_array_equal(nat.input_ids, py.input_ids)
+
+
+def test_pack_lines_matches_pack_file(ref_valid_path, ref_memory,
+                                      tmp_path):
+    """In-memory packing (serving path) == file packing on the same
+    records."""
+    from nbest_asr_tpu.data.native_loader import NativePacker
+
+    tok = WordVocabTokenizer(ref_memory)
+    with open(ref_valid_path) as fp:
+        lines = [next(fp) for _ in range(50)]
+    sub = os.path.join(str(tmp_path), "shard")
+    with open(sub, "w") as out:
+        out.writelines(lines)
+
+    packer = NativePacker(ref_memory, tok)
+    by_file = packer.pack_file(sub, max_len=256)
+
+    asr = [l.split("\t<=>\t")[0].strip().split(" ") for l in lines]
+    trans = [l.split("\t<=>\t")[1].strip().split(" ") for l in lines]
+    lbls = [l.strip("\n").split("\t<=>\t")[2].split(";") for l in lines]
+    by_lines = packer.pack_lines(asr, trans, lbls, max_len=256)
+
+    np.testing.assert_array_equal(by_file.input_ids, by_lines.input_ids)
+    np.testing.assert_array_equal(by_file.trans_input_ids,
+                                  by_lines.trans_input_ids)
+    np.testing.assert_array_equal(by_file.labels, by_lines.labels)
+    assert by_file.raw_labels == by_lines.raw_labels
+
+
+def test_pack_lines_rejects_malformed(ref_memory):
+    from nbest_asr_tpu.data.native_loader import NativePacker
+
+    tok = WordVocabTokenizer(ref_memory)
+    packer = NativePacker(ref_memory, tok)
+    with pytest.raises(ValueError, match="malformed"):
+        packer.pack_lines([["[CLS]", "[SYS]", "no", "usr", "marker"]])
