@@ -139,7 +139,19 @@ def main(argv=None) -> int:
     if opt.testing:
         trainer.test()
     else:
-        if opt.resume:
+        if opt.resume == "auto":
+            # preemption recovery: pick up the newest checkpoint in the
+            # experiment dir (SURVEY.md §5.3 — the reference has none)
+            import glob
+
+            ckpts = sorted(
+                glob.glob(os.path.join(opt.exp_dir, "ckpt_epoch*"))
+                + glob.glob(os.path.join(opt.exp_dir, "model.ckpt")),
+                key=os.path.getmtime)
+            if ckpts:
+                print(f"resuming from {ckpts[-1]}")
+                trainer.load_checkpoint(ckpts[-1])
+        elif opt.resume:
             trainer.load_checkpoint(opt.resume)
         trainer.train()
     return 0

@@ -15,6 +15,13 @@ masked, padded q rows are sliced off afterwards).
 Non-causal only (bidirectional encoder); attention-prob dropout is not
 implemented in-kernel — the encoder routes to the XLA path when training
 with attn_dropout > 0 (`ops/attention.py`).
+
+Measured on v5e at DSTC2 scale (seq <= 256, head_dim 64): XLA's fused
+attention is faster (the kernel pays grid overhead that only amortizes at
+longer sequences), so flash stays opt-in.  What it buys today is memory —
+batch 64 x seq 256 trains under flash where the XLA path OOMs the 16G
+chip — and it is the on-ramp to ring attention / context parallelism for
+long-context variants (SURVEY.md §5.7).
 """
 
 from __future__ import annotations
@@ -56,7 +63,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * sm_scale   # (bq, bk)
 
-    kv_mask = mask_ref[0]                        # (bk,) f32 {0,1}
+    kv_mask = mask_ref[0, 0]                     # (bk,) f32 {0,1}
     s = jnp.where(kv_mask[None, :] > 0, s, MASK_VALUE)
 
     m_prev = m_scr[...]                          # (bq, LANES) replicated
@@ -79,7 +86,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
         lse = m_scr[...][:, :1] + jnp.log(jnp.maximum(l, 1e-30))
-        lse_ref[0, 0, 0] = lse[:, 0].astype(lse_ref.dtype)
+        # stats tile is (8, block_q): per-row value broadcast over the 8
+        # sublanes (TPU blocks need the 2nd-to-last dim divisible by 8)
+        lse_ref[0, 0, 0] = jnp.broadcast_to(
+            lse[:, 0][None, :], lse_ref.shape[3:]).astype(lse_ref.dtype)
 
 
 def _fwd_call(q, k, v, kv_mask, sm_scale, block_q, block_k):
@@ -98,14 +108,14 @@ def _fwd_call(q, k, v, kv_mask, sm_scale, block_q, block_k):
                          lambda b_, h_, q_, kv: (b_, h_, kv, 0)),
             pl.BlockSpec((1, 1, block_k, d),
                          lambda b_, h_, q_, kv: (b_, h_, kv, 0)),
-            pl.BlockSpec((1, block_k),
-                         lambda b_, h_, q_, kv: (b_, kv)),
+            pl.BlockSpec((1, 1, block_k),
+                         lambda b_, h_, q_, kv: (b_, 0, kv)),
         ],
         out_specs=(
             pl.BlockSpec((1, 1, block_q, d),
                          lambda b_, h_, q_, kv: (b_, h_, q_, 0)),
-            pl.BlockSpec((1, 1, 1, block_q),
-                         lambda b_, h_, q_, kv: (b_, h_, q_, 0)),
+            pl.BlockSpec((1, 1, 1, 8, block_q),
+                         lambda b_, h_, q_, kv: (b_, h_, q_, 0, 0)),
         ),
         scratch_shapes=[
             pltpu.VMEM((block_q, LANES), jnp.float32),   # running max
@@ -114,14 +124,14 @@ def _fwd_call(q, k, v, kv_mask, sm_scale, block_q, block_k):
         ],
         out_shape=(
             jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
-            jax.ShapeDtypeStruct((b, h, n_q, block_q), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, n_q, 8, block_q), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary"),
         ),
     )(q, k, v, kv_mask)
-    return o, lse.reshape(b, h, s)
+    return o, lse[:, :, :, 0, :].reshape(b, h, s)
 
 
 # ===================================================================== #
@@ -134,7 +144,7 @@ def _recompute_p(q_ref, k_ref, mask_ref, lse_ref, sm_scale):
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * sm_scale
-    kv_mask = mask_ref[0]
+    kv_mask = mask_ref[0, 0]
     s = jnp.where(kv_mask[None, :] > 0, s, MASK_VALUE)
     lse = lse_ref[0, 0][:, :1]                    # (bq, 1)
     return q, k, jnp.exp(s - lse)                 # p: (bq, bk)
@@ -242,8 +252,8 @@ def _flash_core_bwd(sm_scale, block_q, block_k, res, do):
 
     def mask_spec(which):
         if which == "dkv":
-            return lambda b_, h_, kv, q_: (b_, kv)
-        return lambda b_, h_, q_, kv: (b_, kv)
+            return lambda b_, h_, kv, q_: (b_, 0, kv)
+        return lambda b_, h_, q_, kv: (b_, 0, kv)
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale, n_q=n_q),
@@ -252,7 +262,7 @@ def _flash_core_bwd(sm_scale, block_q, block_k, res, do):
             pl.BlockSpec((1, 1, block_q, d), q_spec("dkv")),
             pl.BlockSpec((1, 1, block_k, d), kv_spec("dkv")),
             pl.BlockSpec((1, 1, block_k, d), kv_spec("dkv")),
-            pl.BlockSpec((1, block_k), mask_spec("dkv")),
+            pl.BlockSpec((1, 1, block_k), mask_spec("dkv")),
             pl.BlockSpec((1, 1, block_q, d), q_spec("dkv")),
             pl.BlockSpec((1, 1, block_q, LANES), q_spec("dkv")),
             pl.BlockSpec((1, 1, block_q, LANES), q_spec("dkv")),
@@ -282,7 +292,7 @@ def _flash_core_bwd(sm_scale, block_q, block_k, res, do):
             pl.BlockSpec((1, 1, block_q, d), q_spec("dq")),
             pl.BlockSpec((1, 1, block_k, d), kv_spec("dq")),
             pl.BlockSpec((1, 1, block_k, d), kv_spec("dq")),
-            pl.BlockSpec((1, block_k), mask_spec("dq")),
+            pl.BlockSpec((1, 1, block_k), mask_spec("dq")),
             pl.BlockSpec((1, 1, block_q, d), q_spec("dq")),
             pl.BlockSpec((1, 1, block_q, LANES), q_spec("dq")),
             pl.BlockSpec((1, 1, block_q, LANES), q_spec("dq")),
@@ -324,6 +334,9 @@ def flash_attention(q_bshd, k_bshd, v_bshd, attn_mask,
     mask = attn_mask.astype(jnp.float32)
     if s_pad != s:
         mask = jnp.pad(mask, ((0, 0), (0, s_pad - s)))
+    # (b, 1, s): the singleton middle dim satisfies the TPU block-shape
+    # rule for the (1, 1, block_k) mask tiles
+    mask = mask[:, None, :]
 
     out = _flash_core(q, k, v, mask, float(sm_scale), block_q, block_k)
     out = jnp.transpose(out, (0, 2, 1, 3))[:, :s]
