@@ -397,6 +397,19 @@ class Trainer:
         logger = self.logger or make_logger(
             os.path.join(opt.exp_dir, "log.train"))
         logger.info("Training starts at %s" % time.asctime())
+
+        # preemption handling (SURVEY.md §5.3 — absent in the reference):
+        # SIGTERM requests a checkpoint at the next epoch boundary; resume
+        # with `--resume auto`
+        preempted = {"flag": False}
+        try:
+            import signal
+
+            prev_handler = signal.signal(
+                signal.SIGTERM,
+                lambda *_: preempted.update(flag=True))
+        except (ValueError, OSError):  # non-main thread etc.
+            prev_handler = None
         csv_name = "tod_asr_bert_stc"
 
         best = {"epoch": 0, "vf": 0.0, "tef": 0.0, "v_acc": 0.0,
@@ -457,6 +470,14 @@ class Trainer:
                 self.save_checkpoint(
                     os.path.join(opt.exp_dir, f"ckpt_epoch{i}"))
 
+            if preempted["flag"]:
+                path = os.path.join(opt.exp_dir, f"ckpt_epoch{i}")
+                self.save_checkpoint(path)
+                logger.info(
+                    "SIGTERM: checkpointed to %s after epoch %02d; "
+                    "resume with --resume auto" % (path, i))
+                break
+
         logger.info(
             "BEST RESULT:\tEpoch: %02d\tBest valid F1/Acc: %.2f/%.2f\t"
             "test F1/Acc: %.2f/%.2f" %
@@ -464,6 +485,10 @@ class Trainer:
              best["te_acc"]))
         with open(os.path.join(opt.exp_dir, "best.json"), "w") as fp:
             json.dump(best, fp)
+        if prev_handler is not None:
+            import signal
+
+            signal.signal(signal.SIGTERM, prev_handler)
         return best
 
     def test(self) -> Dict[str, EpochMetrics]:

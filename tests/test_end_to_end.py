@@ -138,3 +138,37 @@ def test_multichip_mesh_dp_tp(small_setup, tmp_path):
     # tensor-parallel shards actually placed: qkv kernel split over model
     qkv = trainer.state.params["encoder"]["layers"]["qkv_kernel"]
     assert "model" in str(qkv.sharding.spec)
+
+
+def test_sigterm_checkpoints_and_stops(small_setup, tmp_path):
+    """SIGTERM during training checkpoints at the epoch boundary and
+    stops; --resume auto semantics are exercised via load_checkpoint."""
+    import os
+    import signal
+
+    trainer, opt = _make_trainer(small_setup, tmp_path, max_epoch=5)
+    # raise the flag as the handler would
+    orig = trainer.train
+
+    def train_with_sigterm():
+        # deliver SIGTERM to ourselves right after training starts; the
+        # handler installed by train() marks the flag and the loop stops
+        # at the next epoch boundary
+        signal.alarm(0)
+        import threading
+
+        t = threading.Timer(0.5, lambda: os.kill(os.getpid(),
+                                                 signal.SIGTERM))
+        t.start()
+        try:
+            return orig()
+        finally:
+            t.cancel()
+
+    train_with_sigterm()
+    ckpts = [p for p in os.listdir(opt.exp_dir)
+             if p.startswith("ckpt_epoch")]
+    assert ckpts, "no preemption checkpoint written"
+    # resumable
+    trainer.load_checkpoint(os.path.join(opt.exp_dir, sorted(ckpts)[-1]))
+    assert int(trainer.state.step) > 0
