@@ -156,3 +156,44 @@ def test_etl_augmentation():
     # augmented copies carry the transcript on the ASR side
     assert aug[1].asr_in == aug[1].trans_in == plain[0].trans_in
     assert aug[1].labels == plain[0].labels
+
+
+def test_cli_with_ontology_filter(mini_dataroot, tmp_path):
+    """--ontology_path flows through to eval-time tuple filtering
+    (ref n_best_asr_bert.py:139-140, 342-344)."""
+    import json as _json
+
+    from nbest_asr_tpu.cli import main
+
+    onto = {"informable": {"food": ["chinese", "indian"],
+                           "pricerange": ["cheap", "expensive"],
+                           "area": ["north", "south"]}}
+    onto_path = str(tmp_path / "ontology.json")
+    with open(onto_path, "w") as fp:
+        _json.dump(onto, fp)
+
+    rc = main([
+        "--dataset", "dstc2", "--dataroot", mini_dataroot,
+        "--batchSize", "8", "--max_epoch", "1",
+        "--n_layers", "2", "--n_head", "4",
+        "--experiment", str(tmp_path / "exp"),
+        "--ontology_path", onto_path,
+    ])
+    assert rc == 0
+
+
+def test_cli_xlmr_family_fallback(mini_dataroot, tmp_path):
+    """--pre_trained_model xlm-roberta without local checkpoint files
+    falls back to the word tokenizer; the family still routes segment
+    ids the XLM-R way (none passed)."""
+    from nbest_asr_tpu.cli import main
+
+    rc = main([
+        "--dataset", "dstc2", "--dataroot", mini_dataroot,
+        "--pre_trained_model", "xlm-roberta",
+        "--batchSize", "8", "--max_epoch", "1",
+        "--n_layers", "2", "--n_head", "4",
+        "--experiment", str(tmp_path / "exp_xlmr"),
+        "--add_segment_ids",
+    ])
+    assert rc == 0
