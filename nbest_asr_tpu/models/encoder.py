@@ -52,6 +52,7 @@ class EncoderConfig:
     use_flash_attention: bool = False
     use_fused_ln: bool = False      # Pallas residual+LayerNorm kernel
     use_fused_gelu: bool = False    # Pallas bias+GELU kernel
+    use_fused_embedding: bool = False  # Pallas embed+LN lookup kernel
     remat: bool = False             # jax.checkpoint the layer scan body
     scan_unroll: int = 1            # lax.scan unroll factor for the
     # layer loop.  Measured on v5e at BERT-base: unroll=4 is ~35% SLOWER
@@ -130,14 +131,27 @@ def _embed(params: dict, input_ids: jnp.ndarray,
            rng, deterministic: bool) -> jnp.ndarray:
     emb = params["embeddings"]
     b, s = input_ids.shape
-    positions = jnp.arange(s, dtype=jnp.int32) + cfg.position_offset
-    x = emb["word"][input_ids]
-    x = x + emb["position"][positions][None, :, :]
-    if token_type_ids is not None and cfg.type_vocab_size > 0:
-        x = x + emb["type"][token_type_ids]
+    if cfg.use_fused_embedding:
+        from ..ops.fused_embed import fused_embed_lookup
+
+        tt = token_type_ids if (token_type_ids is not None
+                                and cfg.type_vocab_size > 0) else \
+            jnp.zeros_like(input_ids)
+        pos_table = jax.lax.dynamic_slice_in_dim(
+            emb["position"], cfg.position_offset, s, axis=0)
+        x = fused_embed_lookup(emb["word"], pos_table, emb["type"],
+                               emb["ln_scale"], emb["ln_bias"],
+                               input_ids, tt, s, cfg.layer_norm_eps)
     else:
-        x = x + emb["type"][0][None, None, :]
-    x = layer_norm(x, emb["ln_scale"], emb["ln_bias"], cfg.layer_norm_eps)
+        positions = jnp.arange(s, dtype=jnp.int32) + cfg.position_offset
+        x = emb["word"][input_ids]
+        x = x + emb["position"][positions][None, :, :]
+        if token_type_ids is not None and cfg.type_vocab_size > 0:
+            x = x + emb["type"][token_type_ids]
+        else:
+            x = x + emb["type"][0][None, None, :]
+        x = layer_norm(x, emb["ln_scale"], emb["ln_bias"],
+                       cfg.layer_norm_eps)
     if not deterministic:
         x = dropout(x, cfg.hidden_dropout, jax.random.fold_in(rng, 0xE),
                     deterministic)

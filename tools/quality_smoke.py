@@ -32,6 +32,7 @@ def main() -> int:
     ap.add_argument("--n_layers", type=int, default=4)
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--token_budget", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=999)
     ap.add_argument("--md_out", default=None,
                     help="write the markdown summary here (default: "
                     "<out>/QUALITY.md; the repo-root QUALITY.md is "
@@ -73,7 +74,7 @@ def main() -> int:
         "--warmup_proportion", "0.1",
         "--dropout", "0.1", "--bert_dropout", "0.1",
         "--batchSize", "32", "--max_epoch", str(args.epochs),
-        "--random_seed", "999",
+        "--random_seed", str(args.seed),
         "--compute_dtype", "bfloat16",
         "--length_buckets", "96,160,256",
         "--add_segment_ids",
