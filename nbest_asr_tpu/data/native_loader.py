@@ -22,7 +22,7 @@ import ctypes
 import os
 import subprocess
 import tempfile
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -15,7 +15,7 @@ and no resume; ours checkpoints params+opt_state+step, SURVEY.md §5.4).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
 
 import jax

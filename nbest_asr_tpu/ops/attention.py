@@ -8,7 +8,7 @@ blockwise Pallas kernel in `flash_attention.py` (TPU only).
 
 from __future__ import annotations
 
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

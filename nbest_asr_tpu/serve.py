@@ -13,7 +13,7 @@ string or a word list.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Union
+from typing import List, Sequence, Union
 
 import jax
 import jax.numpy as jnp
