@@ -61,7 +61,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
     k = k_ref[0, 0].astype(jnp.float32)          # (bk, d)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * sm_scale   # (bq, bk)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST) * sm_scale   # (bq, bk)
 
     kv_mask = mask_ref[0, 0]                     # (bk,) f32 {0,1}
     s = jnp.where(kv_mask[None, :] > 0, s, MASK_VALUE)
@@ -78,7 +79,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
 
     v = v_ref[0, 0].astype(jnp.float32)          # (bk, d)
     acc_scr[...] = acc_scr[...] * alpha[:, :1] + jnp.dot(
-        p, v, preferred_element_type=jnp.float32)
+        p, v, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
 
     @pl.when(kv_idx == n_kv - 1)
     def _store():
@@ -143,7 +145,8 @@ def _recompute_p(q_ref, k_ref, mask_ref, lse_ref, sm_scale):
     k = k_ref[0, 0].astype(jnp.float32)           # (bk, d)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * sm_scale
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST) * sm_scale
     kv_mask = mask_ref[0, 0]
     s = jnp.where(kv_mask[None, :] > 0, s, MASK_VALUE)
     lse = lse_ref[0, 0][:, :1]                    # (bq, 1)
@@ -167,15 +170,18 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
 
     dv_scr[...] += jax.lax.dot_general(
         p, do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)       # p^T @ do -> (bk, d)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)      # p^T @ do -> (bk, d)
 
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)       # (bq, bk)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)      # (bq, bk)
     ds = p * (dp - di) * sm_scale
     dk_scr[...] += jax.lax.dot_general(
         ds, q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)       # ds^T @ q -> (bk, d)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)      # ds^T @ q -> (bk, d)
 
     @pl.when(q_idx == n_q - 1)
     def _store():
@@ -198,9 +204,11 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
 
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
     ds = p * (dp - di) * sm_scale
-    dq_scr[...] += jnp.dot(ds, k, preferred_element_type=jnp.float32)
+    dq_scr[...] += jnp.dot(ds, k, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
 
     @pl.when(kv_idx == n_kv - 1)
     def _store():

@@ -1,0 +1,126 @@
+"""On-chip Pallas kernel validation.
+
+The pytest suite runs kernels in interpret mode on CPU (conftest forces
+the CPU platform); real Mosaic lowering has extra constraints (tile
+alignment, supported primitives) that interpret mode does not enforce.
+This script compiles and checks every kernel against its XLA oracle on
+the actual TPU.  Run after touching anything under `nbest_asr_tpu/ops/`.
+
+Usage: python tools/tpu_kernel_check.py
+Prints one PASS/FAIL line per kernel and exits nonzero on failure.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if jax.devices()[0].platform == "cpu":
+        print("SKIP: no accelerator (kernels need real Mosaic lowering)")
+        return 0
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+
+    from nbest_asr_tpu.ops.attention import multi_head_attention
+    from nbest_asr_tpu.ops.flash_attention import flash_attention
+    from nbest_asr_tpu.ops.fused_embed import _xla_embed, fused_embed_lookup
+    from nbest_asr_tpu.ops.fused_gelu import fused_bias_gelu
+    from nbest_asr_tpu.ops.fused_ln import fused_residual_layer_norm
+    from nbest_asr_tpu.ops.layers import gelu, layer_norm
+
+    rng = np.random.RandomState(0)
+    failures = []
+
+    def check(name, got, want, atol):
+        diff = float(np.abs(np.asarray(got, np.float32)
+                            - np.asarray(want, np.float32)).max())
+        ok = diff <= atol
+        print(f"{'PASS' if ok else 'FAIL'}  {name}: max diff {diff:.2e} "
+              f"(atol {atol:g})")
+        if not ok:
+            failures.append(name)
+
+    # ---- flash attention (fwd + grads) -------------------------------- #
+    b, s, h, d = 4, 256, 4, 64
+    q = jnp.asarray(rng.randn(b, s, h, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, s, h, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, s, h, d), jnp.float32)
+    lens = rng.randint(s // 4, s + 1, (b,))
+    mask = jnp.asarray((np.arange(s)[None] < lens[:, None])
+                       .astype(np.float32))
+    out = jax.jit(flash_attention)(q, k, v, mask)
+    with jax.default_matmul_precision("highest"):
+        ref = multi_head_attention(q, k, v, mask)
+    m = np.asarray(mask).astype(bool)
+    check("flash_attention fwd", np.asarray(out)[m], np.asarray(ref)[m],
+          5e-5)
+
+    def loss_f(fn):
+        return lambda q, k, v: jnp.sum(
+            fn(q, k, v, mask) ** 2 * mask[:, :, None, None])
+
+    gf = jax.jit(jax.grad(loss_f(flash_attention), argnums=(0, 1, 2)))(
+        q, k, v)
+    with jax.default_matmul_precision("highest"):
+        gr = jax.grad(loss_f(multi_head_attention), argnums=(0, 1, 2))(
+            q, k, v)
+    for a, b_, nm in zip(gf, gr, "qkv"):
+        check(f"flash_attention d{nm}", a, b_, 2e-3)
+
+    # ---- fused residual LN -------------------------------------------- #
+    x = jnp.asarray(rng.randn(2048, 768), jnp.float32)
+    r = jnp.asarray(rng.randn(2048, 768), jnp.float32)
+    sc = jnp.asarray(rng.rand(768) + 0.5, jnp.float32)
+    bi = jnp.asarray(rng.randn(768), jnp.float32)
+    y = jax.jit(fused_residual_layer_norm)(x, r, sc, bi)
+    check("fused_ln fwd", y, layer_norm(x + r, sc, bi), 1e-4)
+    g1 = jax.jit(jax.grad(
+        lambda a: jnp.sum(fused_residual_layer_norm(a, r, sc, bi) ** 2)))(x)
+    g2 = jax.grad(lambda a: jnp.sum(layer_norm(a + r, sc, bi) ** 2))(x)
+    check("fused_ln dx", g1, g2, 2e-3)
+
+    # ---- fused bias GELU ----------------------------------------------- #
+    xg = jnp.asarray(rng.randn(2048, 3072), jnp.float32)
+    bg = jnp.asarray(rng.randn(3072), jnp.float32)
+    yg = jax.jit(fused_bias_gelu)(xg, bg)
+    check("fused_gelu fwd", yg, gelu(xg + bg), 1e-4)
+    gg1 = jax.jit(jax.grad(lambda a: jnp.sum(fused_bias_gelu(a, bg) ** 2)))(
+        xg)
+    gg2 = jax.grad(lambda a: jnp.sum(gelu(a + bg) ** 2))(xg)
+    check("fused_gelu dx", gg1, gg2, 2e-3)
+
+    # ---- fused embedding ------------------------------------------------ #
+    V, P, T, hh = 30522, 512, 2, 768
+    word = jnp.asarray(rng.randn(V, hh).astype(np.float32))
+    pos = jnp.asarray(rng.randn(P, hh).astype(np.float32))
+    typ = jnp.asarray(rng.randn(T, hh).astype(np.float32))
+    esc = jnp.asarray(rng.rand(hh).astype(np.float32) + 0.5)
+    ebi = jnp.asarray(rng.randn(hh).astype(np.float32))
+    bb, ss = 16, 64
+    ids = jnp.asarray(rng.randint(0, V, (bb, ss)), jnp.int32)
+    tids = jnp.asarray(rng.randint(0, T, (bb, ss)), jnp.int32)
+    posids = jnp.broadcast_to(jnp.arange(ss, dtype=jnp.int32)[None],
+                              (bb, ss))
+    ye = jax.jit(functools.partial(fused_embed_lookup, seq_len=ss))(
+        word, pos, typ, esc, ebi, ids, tids)
+    yr = _xla_embed(word, pos, typ, esc, ebi, ids, tids, posids, 1e-12)
+    check("fused_embed fwd", ye, yr, 1e-4)
+
+    print("ALL PASS" if not failures else f"FAILURES: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
