@@ -322,12 +322,18 @@ _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 def flash_attention(q_bshd, k_bshd, v_bshd, attn_mask,
                     sm_scale: float | None = None,
-                    block_q: int = DEFAULT_BLOCK_Q,
-                    block_k: int = DEFAULT_BLOCK_K) -> jnp.ndarray:
+                    block_q: int | None = None,
+                    block_k: int | None = None) -> jnp.ndarray:
     """Public entry: (b, s, h, d) q/k/v + (b, s) padding mask -> (b, s, h, d)."""
     b, s, h, d = q_bshd.shape
     if sm_scale is None:
         sm_scale = 1.0 / (d ** 0.5)
+    if block_q is None:
+        # bigger blocks amortize grid overhead (measured ~30% faster at
+        # seq 256 with 256-blocks); VMEM stays comfortable to 256
+        block_q = 256 if s >= 256 else DEFAULT_BLOCK_Q
+    if block_k is None:
+        block_k = 256 if s >= 256 else DEFAULT_BLOCK_K
 
     s_pad = _round_up(s, max(block_q, block_k))
 
