@@ -13,3 +13,26 @@ module docstrings.
 """
 
 __version__ = "0.1.0"
+
+_EXPORTS = {
+    "RunOptions": ".config",
+    "parse_arguments": ".config",
+    "Memory": ".data.vocab",
+    "Trainer": ".train.loop",
+    "build_model": ".train.loop",
+    "Predictor": ".serve",
+    "load_predictor": ".serve",
+    "EncoderConfig": ".models.encoder",
+    "ModelConfig": ".models.model",
+}
+
+
+def __getattr__(name):
+    # lazy top-level API (importing the trainer pulls in jax; keep bare
+    # `import nbest_asr_tpu` light)
+    if name in _EXPORTS:
+        import importlib
+
+        mod = importlib.import_module(_EXPORTS[name], __name__)
+        return getattr(mod, name)
+    raise AttributeError(name)
