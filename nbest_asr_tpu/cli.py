@@ -119,8 +119,13 @@ def main(argv=None) -> int:
     except FileNotFoundError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
-    tokenizer = load_tokenizer(opt.pre_trained_model,
-                               opt.tod_pre_trained_model, memory)
+    try:
+        tokenizer = load_tokenizer(
+            opt.pre_trained_model, opt.tod_pre_trained_model, memory,
+            require_pretrained=opt.require_pretrained)
+    except (RuntimeError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     splits = prepare_packed_splits(opt, memory, tokenizer)
     if "valid" not in splits:
         print("missing valid shard", file=sys.stderr)
@@ -131,7 +136,11 @@ def main(argv=None) -> int:
 
     from .train.loop import Trainer, build_model
 
-    cfg, params = build_model(opt, memory, tokenizer)
+    try:
+        cfg, params = build_model(opt, memory, tokenizer)
+    except RuntimeError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     os.makedirs(opt.exp_dir, exist_ok=True)
     trainer = Trainer(opt, memory, cfg, params, splits,
                       family=opt.pre_trained_model)
@@ -145,8 +154,10 @@ def main(argv=None) -> int:
             import glob
 
             ckpts = sorted(
-                glob.glob(os.path.join(opt.exp_dir, "ckpt_epoch*"))
-                + glob.glob(os.path.join(opt.exp_dir, "model.ckpt")),
+                (p for p in
+                 glob.glob(os.path.join(opt.exp_dir, "ckpt_epoch*"))
+                 + glob.glob(os.path.join(opt.exp_dir, "model.ckpt"))
+                 if not p.endswith(".meta.json")),
                 key=os.path.getmtime)
             if ckpts:
                 print(f"resuming from {ckpts[-1]}")

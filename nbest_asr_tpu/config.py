@@ -47,6 +47,11 @@ class RunOptions:
     fix_bert_model: bool = False
     pre_trained_model: Optional[str] = None       # bert|roberta|xlm-roberta
     tod_pre_trained_model: Optional[str] = None   # checkpoint path
+    require_pretrained: bool = False              # hard-fail instead of the
+    # from-scratch fallback when the requested checkpoint can't be loaded
+    # (the reference always fails loudly here, `n_best_asr_bert.py:480-487`;
+    # the fallback exists only because this environment may have no
+    # checkpoint on disk — it must never be silent)
 
     # ------------- training & testing (ref :71-86) -------------------- #
     testing: bool = False
@@ -165,6 +170,7 @@ def parse_arguments(argv=None) -> RunOptions:
     p.add_argument("--fix_bert_model", action="store_true")
     p.add_argument("--pre_trained_model", default=None)
     p.add_argument("--tod_pre_trained_model", default=None)
+    p.add_argument("--require_pretrained", action="store_true")
 
     # training & testing
     p.add_argument("--testing", action="store_true")

@@ -106,21 +106,45 @@ class HFTokenizerAdapter(BaseTokenizer):
 
 def load_tokenizer(pre_trained_model: str | None,
                    tod_pre_trained_model: str | None,
-                   memory: Memory) -> BaseTokenizer:
+                   memory: Memory, *,
+                   require_pretrained: bool = False) -> BaseTokenizer:
     """Resolve the tokenizer the same way the reference resolves
-    `opt.tokenizer` (`n_best_asr_bert.py:480-487`), with the word-vocab
-    tokenizer as the no-checkpoint fallback."""
+    `opt.tokenizer` (`n_best_asr_bert.py:480-487`).
+
+    When a pretrained tokenizer was *requested* but cannot be loaded, this
+    never falls back silently: it raises if ``require_pretrained`` and
+    otherwise emits a loud stderr warning before using the self-contained
+    word-vocab tokenizer (the reference would crash here; the fallback only
+    exists for offline smoke runs)."""
     hf_names = {
         "bert": "bert-base-uncased",
         "roberta": "roberta-base",
         "xlm-roberta": "xlm-roberta-base",
     }
-    try:
-        if tod_pre_trained_model:
-            return HFTokenizerAdapter(tod_pre_trained_model)
-        if pre_trained_model in hf_names:
-            return HFTokenizerAdapter(hf_names[pre_trained_model],
-                                      family=pre_trained_model)
-    except Exception:
-        pass  # fall through to the self-contained tokenizer
+    requested = tod_pre_trained_model or (
+        hf_names.get(pre_trained_model) if pre_trained_model else None)
+    if pre_trained_model and pre_trained_model not in hf_names \
+            and not tod_pre_trained_model:
+        raise ValueError(
+            f"unknown --pre_trained_model {pre_trained_model!r}; "
+            f"choices: {sorted(hf_names)}")
+    if requested:
+        try:
+            if tod_pre_trained_model:
+                return HFTokenizerAdapter(tod_pre_trained_model)
+            return HFTokenizerAdapter(requested, family=pre_trained_model)
+        except Exception as e:
+            msg = (f"could not load pretrained tokenizer {requested!r}: "
+                   f"{type(e).__name__}: {e}")
+            if require_pretrained:
+                raise RuntimeError(
+                    msg + " (--require_pretrained set; refusing the "
+                    "from-scratch fallback)") from e
+            import sys
+
+            print(
+                "WARNING: %s\nWARNING: falling back to the from-scratch "
+                "word-vocab tokenizer — this run will NOT use pretrained "
+                "weights. Pass --require_pretrained to make this fatal."
+                % msg, file=sys.stderr, flush=True)
     return WordVocabTokenizer(memory)

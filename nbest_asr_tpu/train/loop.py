@@ -91,8 +91,10 @@ def _make_buckets(data: Dict[str, np.ndarray], bucket_lens: List[int]
                   ) -> List[_Bucket]:
     """Split host data into per-length buckets and device_put each bucket
     once.  Row length = max over both streams' real lengths; each row goes
-    to the smallest bucket that fits (the last bucket catches everything
-    longer, truncated to the packed max_len)."""
+    to the smallest bucket that fits.  The last bucket catches everything
+    longer and is widened to cover its longest row (rounded up to a
+    multiple of 8, capped at the packed max_len) — rows are NEVER
+    truncated, whatever bucket ladder the user passes."""
     row_len = np.maximum(data["attn_mask"].sum(axis=1),
                          data["trans_attn_mask"].sum(axis=1)).astype(
                              np.int32)
@@ -105,6 +107,10 @@ def _make_buckets(data: Dict[str, np.ndarray], bucket_lens: List[int]
         blen = min(blen, max_len)
         if i == len(bucket_lens) - 1:
             sel = ~assigned
+            if sel.any():
+                longest = int(row_len[sel].max())
+                if longest > blen:  # widen, never truncate
+                    blen = min(-(-longest // 8) * 8, max_len)
         else:
             sel = (~assigned) & (row_len <= blen)
         assigned |= sel
@@ -168,18 +174,6 @@ class Trainer:
         self.logger = logger
         self.hier = hierarchy_device_arrays(memory.arrays())
 
-        n_train = len(packed["train"]) if "train" in packed else 1
-        t_total = (n_train // opt.batchSize + 1) * opt.max_epoch  # ref :556
-        # --fix_bert_model freezes the encoder: lr 0 for encoder leaves
-        bert_lr = 0.0 if opt.fix_bert_model else opt.bert_lr
-        self.opt_cfg = OptimizerConfig(
-            optim_choice=opt.optim_choice, lr=opt.lr, bert_lr=bert_lr,
-            warmup_proportion=opt.warmup_proportion, t_total=t_total,
-            max_grad_norm=1.0 if opt.optim_choice == "bertadam"
-            else opt.max_norm,
-            l2=opt.l2)
-        self.optimizer = make_optimizer(self.opt_cfg, params)
-
         # segment-id routing (see _device_data docstring)
         is_xlmr = self.family == "xlm-roberta"
         use_asr_segs = opt.add_segment_ids and not is_xlmr
@@ -206,6 +200,29 @@ class Trainer:
                     data={k: jnp.asarray(v) for k, v in d.items()},
                     rows=np.arange(n))]
 
+        # optimizer schedule horizon: the reference formula
+        # `(n_train // batchSize + 1) * max_epoch` (ref :556) in the parity
+        # configuration; when bucketing/token-budget batching changes the
+        # real number of optimizer steps per epoch, compute t_total from
+        # the actual epoch step plan so warmup-linear peaks/decays at the
+        # right progress fraction (the plan is deterministic: shuffling
+        # permutes rows, never the per-bucket step counts)
+        n_train = len(packed["train"]) if "train" in packed else 1
+        if (opt.token_budget or opt.length_buckets) and "train" in packed:
+            steps_per_epoch = self._train_steps_per_epoch()
+            t_total = max(steps_per_epoch, 1) * opt.max_epoch
+        else:
+            t_total = (n_train // opt.batchSize + 1) * opt.max_epoch
+        # --fix_bert_model freezes the encoder: lr 0 for encoder leaves
+        bert_lr = 0.0 if opt.fix_bert_model else opt.bert_lr
+        self.opt_cfg = OptimizerConfig(
+            optim_choice=opt.optim_choice, lr=opt.lr, bert_lr=bert_lr,
+            warmup_proportion=opt.warmup_proportion, t_total=t_total,
+            max_grad_norm=1.0 if opt.optim_choice == "bertadam"
+            else opt.max_norm,
+            l2=opt.l2)
+        self.optimizer = make_optimizer(self.opt_cfg, params)
+
         loss_cfg = LossConfig(add_l2_loss=opt.add_l2_loss)
         self.train_step = make_train_step(
             model_cfg, loss_cfg, self.optimizer, self.hier,
@@ -225,6 +242,7 @@ class Trainer:
         # initial state (sharded params when tensor-parallel)
         shardings = param_shardings(params, self.mesh,
                                     tensor_parallel=opt.n_model_parallel > 1)
+        self._param_shardings = shardings
         params = jax.device_put(params, shardings)
         # jit the optimizer init: eager tree_map(zeros_like) is ~30 tiny
         # dispatches, each a round-trip through the remote TPU compiler
@@ -235,6 +253,11 @@ class Trainer:
         )
         self._rng = jax.random.PRNGKey(opt.random_seed)
         self._shuffle_rng = np.random.RandomState(opt.random_seed)
+        # resume bookkeeping (set by load_checkpoint when the checkpoint
+        # carries epoch metadata; SURVEY.md §5.4 — the reference has no
+        # mid-training resume at all)
+        self._start_epoch = 0
+        self._best: Optional[Dict[str, float]] = None
 
     # ------------------------------------------------------------------ #
     # epochs
@@ -287,6 +310,16 @@ class Trainer:
         blen = int(bucket.data["input_ids"].shape[1])
         b = max(opt.micro_batch, (opt.token_budget // blen) // 8 * 8)
         return max(b, 1)
+
+    def _train_steps_per_epoch(self) -> int:
+        """Optimizer steps one train epoch will actually take (independent
+        of the shuffle: permutations change row order, not counts)."""
+        steps = 0
+        for bucket in self.buckets.get("train", []):
+            micro_b = self._bucket_micro_batch(bucket)
+            n_micro = -(-len(bucket) // micro_b)
+            steps += n_micro // self.opt.n_accum_steps
+        return steps
 
     def run_eval_epoch(self, split: str, epoch: int = 0,
                        dump_prefix: Optional[str] = None
@@ -361,7 +394,12 @@ class Trainer:
     # checkpointing (Orbax)
     # ------------------------------------------------------------------ #
 
-    def save_checkpoint(self, path: str) -> None:
+    def save_checkpoint(self, path: str, *, epoch: Optional[int] = None,
+                        best: Optional[Dict[str, float]] = None) -> None:
+        """Orbax pytree (params/opt_state/step) + a JSON sidecar with the
+        epoch cursor, best-metrics dict and both RNG states — everything
+        `train()` needs to continue a preempted run exactly where it
+        stopped.  ``epoch`` is the NEXT epoch to run on resume."""
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(path)
@@ -371,6 +409,16 @@ class Trainer:
             "opt_state": self.state.opt_state,
             "step": self.state.step,
         }, force=True)
+        mt = self._shuffle_rng.get_state()
+        meta = {
+            "epoch": epoch,
+            "best": best,
+            "rng": np.asarray(self._rng).tolist(),
+            "shuffle": [mt[0], np.asarray(mt[1]).tolist(), int(mt[2]),
+                        int(mt[3]), float(mt[4])],
+        }
+        with open(path + ".meta.json", "w") as fp:
+            json.dump(meta, fp)
 
     def load_checkpoint(self, path: str) -> None:
         import orbax.checkpoint as ocp
@@ -383,15 +431,36 @@ class Trainer:
             "step": self.state.step,
         }
         restored = ckptr.restore(path, item=template)
-        self.state = TrainState(params=restored["params"],
+        params = jax.device_put(restored["params"], self._param_shardings)
+        self.state = TrainState(params=params,
                                 opt_state=restored["opt_state"],
                                 step=restored["step"])
+        meta_path = path + ".meta.json"
+        if os.path.exists(meta_path):  # round-1 checkpoints have no meta
+            with open(meta_path) as fp:
+                meta = json.load(fp)
+            if meta.get("epoch") is not None:
+                self._start_epoch = int(meta["epoch"])
+            if meta.get("best") is not None:
+                self._best = dict(meta["best"])
+            if meta.get("rng") is not None:
+                self._rng = jnp.asarray(
+                    np.asarray(meta["rng"], dtype=np.uint32))
+            if meta.get("shuffle") is not None:
+                kind, keys, pos, hg, cached = meta["shuffle"]
+                self._shuffle_rng.set_state(
+                    (kind, np.asarray(keys, dtype=np.uint32), pos, hg,
+                     cached))
 
     # ------------------------------------------------------------------ #
     # full drivers
     # ------------------------------------------------------------------ #
 
-    def train(self) -> Dict[str, float]:
+    def train(self, stop_after_epoch: Optional[int] = None
+              ) -> Dict[str, float]:
+        """Epoch driver.  ``stop_after_epoch`` simulates a preemption after
+        that epoch index (same code path as a real SIGTERM) — used by the
+        kill/resume tests and operational dry-runs."""
         opt = self.opt
         os.makedirs(opt.exp_dir, exist_ok=True)
         logger = self.logger or make_logger(
@@ -412,12 +481,17 @@ class Trainer:
             prev_handler = None
         csv_name = "tod_asr_bert_stc"
 
-        best = {"epoch": 0, "vf": 0.0, "tef": 0.0, "v_acc": 0.0,
-                "te_acc": 0.0}
+        best = self._best or {"epoch": 0, "vf": 0.0, "tef": 0.0,
+                              "v_acc": 0.0, "te_acc": 0.0}
         has_test = "test" in self.data
+        start_epoch = self._start_epoch
+        if start_epoch:
+            logger.info("Resuming at epoch %02d (best valid F1 so far "
+                        "%.2f @ epoch %02d)" %
+                        (start_epoch, best["vf"], best["epoch"]))
 
-        profile_epoch = min(1, opt.max_epoch - 1)  # post-compile epoch
-        for i in range(opt.max_epoch):
+        profile_epoch = min(max(1, start_epoch), opt.max_epoch - 1)
+        for i in range(start_epoch, opt.max_epoch):
             t0 = time.time()
             if opt.profile_dir and i == profile_epoch:
                 from ..utils.profiling import trace
@@ -460,7 +534,9 @@ class Trainer:
             if vm.f1 > best["vf"]:
                 best.update(epoch=i, vf=vm.f1, tef=tem.f1, v_acc=vm.acc,
                             te_acc=tem.acc)
-                self.save_checkpoint(os.path.join(opt.exp_dir, "model.ckpt"))
+                self.save_checkpoint(
+                    os.path.join(opt.exp_dir, "model.ckpt"),
+                    epoch=i + 1, best=best)
                 logger.info(
                     "NEW BEST:\tEpoch: %02d\tvalid F1/Acc: %.2f/%.2f\t"
                     "test F1/Acc: %.2f/%.2f" %
@@ -468,11 +544,14 @@ class Trainer:
 
             if opt.checkpoint_every and (i + 1) % opt.checkpoint_every == 0:
                 self.save_checkpoint(
-                    os.path.join(opt.exp_dir, f"ckpt_epoch{i}"))
+                    os.path.join(opt.exp_dir, f"ckpt_epoch{i}"),
+                    epoch=i + 1, best=best)
 
+            if stop_after_epoch is not None and i >= stop_after_epoch:
+                preempted["flag"] = True
             if preempted["flag"]:
                 path = os.path.join(opt.exp_dir, f"ckpt_epoch{i}")
-                self.save_checkpoint(path)
+                self.save_checkpoint(path, epoch=i + 1, best=best)
                 logger.info(
                     "SIGTERM: checkpointed to %s after epoch %02d; "
                     "resume with --resume auto" % (path, i))
@@ -522,8 +601,10 @@ class Trainer:
 def build_model(opt: RunOptions, memory: Memory, tokenizer):
     """Resolve encoder config + initial params per the reference's
     pretrained-model registry semantics (`n_best_asr_bert.py:33-37,
-    480-487`), falling back to from-scratch init when no local checkpoint
-    exists (this environment has no network)."""
+    480-487`).  A *requested* pretrained checkpoint that fails to load is
+    never a silent fallback: it raises under ``--require_pretrained`` and
+    warns loudly on stderr otherwise (the from-scratch path exists only for
+    offline smoke runs in this no-network environment)."""
     from ..models.encoder import EncoderConfig
     from ..models.hf_convert import load_pretrained_encoder
 
@@ -544,7 +625,20 @@ def build_model(opt: RunOptions, memory: Memory, tokenizer):
     if name:
         try:
             enc_cfg, enc_params = load_pretrained_encoder(name, **common)
-        except Exception:
+        except Exception as e:
+            msg = (f"could not load pretrained encoder {name!r}: "
+                   f"{type(e).__name__}: {e}")
+            if opt.require_pretrained:
+                raise RuntimeError(
+                    msg + " (--require_pretrained set; refusing the "
+                    "from-scratch fallback)") from e
+            import sys
+
+            print(
+                "WARNING: %s\nWARNING: training FROM SCRATCH — results "
+                "will not be comparable to the pretrained benchmark. "
+                "Pass --require_pretrained to make this fatal." % msg,
+                file=sys.stderr, flush=True)
             enc_cfg = None
 
     if enc_cfg is None:
