@@ -25,6 +25,30 @@ from .. import constants as C
 from .vocab import Memory
 
 
+HF_NAMES = {
+    "bert": "bert-base-uncased",
+    "roberta": "roberta-base",
+    "xlm-roberta": "xlm-roberta-base",
+}
+
+
+def resolve_checkpoint(name: str) -> str:
+    """Map a canonical HF checkpoint name to a local directory when
+    ``NBEST_HF_LOCAL`` provides one (``$NBEST_HF_LOCAL/<name>``); otherwise
+    return the name for transformers' own local-cache resolution.  Keeps
+    the reference CLI surface (`--pre_trained_model bert|roberta|
+    xlm-roberta`) usable in this no-network environment with checkpoints
+    staged on disk."""
+    import os
+
+    root = os.environ.get("NBEST_HF_LOCAL")
+    if root:
+        cand = os.path.join(root, name)
+        if os.path.isdir(cand):
+            return cand
+    return name
+
+
 class BaseTokenizer:
     cls_token: str
     sep_token: str
@@ -116,23 +140,19 @@ def load_tokenizer(pre_trained_model: str | None,
     otherwise emits a loud stderr warning before using the self-contained
     word-vocab tokenizer (the reference would crash here; the fallback only
     exists for offline smoke runs)."""
-    hf_names = {
-        "bert": "bert-base-uncased",
-        "roberta": "roberta-base",
-        "xlm-roberta": "xlm-roberta-base",
-    }
     requested = tod_pre_trained_model or (
-        hf_names.get(pre_trained_model) if pre_trained_model else None)
-    if pre_trained_model and pre_trained_model not in hf_names \
+        HF_NAMES.get(pre_trained_model) if pre_trained_model else None)
+    if pre_trained_model and pre_trained_model not in HF_NAMES \
             and not tod_pre_trained_model:
         raise ValueError(
             f"unknown --pre_trained_model {pre_trained_model!r}; "
-            f"choices: {sorted(hf_names)}")
+            f"choices: {sorted(HF_NAMES)}")
     if requested:
         try:
             if tod_pre_trained_model:
                 return HFTokenizerAdapter(tod_pre_trained_model)
-            return HFTokenizerAdapter(requested, family=pre_trained_model)
+            return HFTokenizerAdapter(resolve_checkpoint(requested),
+                                      family=pre_trained_model)
         except Exception as e:
             msg = (f"could not load pretrained tokenizer {requested!r}: "
                    f"{type(e).__name__}: {e}")

@@ -77,9 +77,10 @@ def hierarchical_head(params: dict, features: jnp.ndarray,
     features (`hierarchical_classifier.py:41, 46` — the same dropout layer
     is applied before the top and bottom projections).
     """
+    from ..ops.layers import acc_dtype
     from ..ops.layers import dropout as _dropout
 
-    f32 = features.astype(jnp.float32)
+    f32 = features.astype(acc_dtype(features.dtype))
     if not deterministic and dropout_rate > 0.0:
         r1, r2 = jax.random.split(rng)
         f_top = _dropout(f32, dropout_rate, r1, deterministic)

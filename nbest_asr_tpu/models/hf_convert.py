@@ -24,7 +24,10 @@ from .encoder import EncoderConfig
 
 
 def _np(t) -> np.ndarray:
-    return np.asarray(t.detach().cpu().numpy(), dtype=np.float32)
+    # copy=True: torch's .numpy() ALIASES the tensor storage — without the
+    # copy, later in-place mutation (or freeing) of the torch model would
+    # silently corrupt the converted params
+    return np.array(t.detach().cpu().numpy(), dtype=np.float32, copy=True)
 
 
 def convert_state_dict(sd: Dict, cfg: EncoderConfig,

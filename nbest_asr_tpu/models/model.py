@@ -72,10 +72,12 @@ def model_forward(
         rng = jax.random.PRNGKey(0)
     r_asr, r_trans, r_head = jax.random.split(rng, 3)
 
+    from ..ops.layers import acc_dtype
+
     seq_out = encoder_forward(
         params["encoder"], input_ids, attn_mask, token_type_ids,
         cfg.encoder, deterministic=deterministic, rng=r_asr)
-    asr_cls = seq_out[:, 0, :].astype(jnp.float32)
+    asr_cls = seq_out[:, 0, :].astype(acc_dtype(seq_out.dtype))
 
     trans_cls = None
     if trans_input_ids is not None:
@@ -83,7 +85,7 @@ def model_forward(
             params["encoder"], trans_input_ids, trans_attn_mask,
             trans_token_type_ids, cfg.encoder,
             deterministic=deterministic, rng=r_trans)
-        trans_cls = trans_out[:, 0, :].astype(jnp.float32)
+        trans_cls = trans_out[:, 0, :].astype(acc_dtype(trans_out.dtype))
 
     feats = trans_cls if (classifier_input_type == "transcript"
                           and trans_cls is not None) else asr_cls

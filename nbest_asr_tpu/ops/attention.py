@@ -35,19 +35,22 @@ def multi_head_attention(
 
         return flash_attention(q, k, v, attn_mask)
 
+    from .layers import acc_dtype
+
     b, s, h, d = q.shape
-    scale = 1.0 / jnp.sqrt(jnp.asarray(d, dtype=jnp.float32))
-    # (b, h, s, s) logits in f32 for numerics
+    acc = acc_dtype(q.dtype)
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, dtype=acc))
+    # (b, h, s, s) logits in >= f32 for numerics
     logits = jnp.einsum(
-        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=acc
     ) * scale
-    bias = (1.0 - attn_mask[:, None, None, :].astype(jnp.float32)) * -1e9
+    bias = (1.0 - attn_mask[:, None, None, :].astype(acc)) * -1e9
     logits = logits + bias
     probs = jax.nn.softmax(logits, axis=-1)
     if not deterministic and dropout_rate > 0.0:
         probs = dropout(probs, dropout_rate, dropout_rng, deterministic)
     probs = probs.astype(v.dtype)
     out = jnp.einsum(
-        "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
+        "bhqk,bkhd->bqhd", probs, v, preferred_element_type=acc
     )
     return out.astype(q.dtype)

@@ -15,14 +15,21 @@ import jax
 import jax.numpy as jnp
 
 
+def acc_dtype(dtype) -> jnp.dtype:
+    """Accumulation dtype: at least f32 (bf16 inputs accumulate in f32; f64
+    inputs — used by the x64 training-dynamics parity tests — stay f64)."""
+    return jnp.promote_types(dtype, jnp.float32)
+
+
 def dense(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
           compute_dtype=None) -> jnp.ndarray:
     """y = x @ kernel + bias with an explicit MXU accumulation dtype."""
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         kernel = kernel.astype(compute_dtype)
-    y = jnp.dot(x, kernel, preferred_element_type=jnp.float32)
-    return (y + bias.astype(jnp.float32)).astype(x.dtype)
+    acc = acc_dtype(x.dtype)
+    y = jnp.dot(x, kernel, preferred_element_type=acc)
+    return (y + bias.astype(acc)).astype(x.dtype)
 
 
 def gelu(x: jnp.ndarray) -> jnp.ndarray:
@@ -34,13 +41,15 @@ def gelu(x: jnp.ndarray) -> jnp.ndarray:
 
 def layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
                eps: float = 1e-12) -> jnp.ndarray:
-    """LayerNorm in f32 regardless of activation dtype (bf16-safe)."""
+    """LayerNorm in (at least) f32 regardless of activation dtype
+    (bf16-safe)."""
     dtype = x.dtype
-    x32 = x.astype(jnp.float32)
+    acc = acc_dtype(dtype)
+    x32 = x.astype(acc)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
     y = (x32 - mean) * jax.lax.rsqrt(var + eps)
-    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    y = y * scale.astype(acc) + bias.astype(acc)
     return y.astype(dtype)
 
 

@@ -3,9 +3,15 @@ SURVEY.md §2.4: no DP/TP/NCCL anywhere in the reference; this is the
 green-field TPU design of §5.8/§7 step 5).
 
 Axes:
-- ``data``  — batch dimension; gradients are reduced over it by XLA
-  (sharded batch + replicated-or-sharded params => psum over ICI inserted
-  automatically under jit with sharding annotations).
+- ``dcn``   — (optional) slice axis for multi-slice deployments: data
+  parallelism whose gradient all-reduce crosses the data-center network,
+  not ICI.  Parameters stay replicated over it; only the batch is split,
+  so exactly one psum per step rides DCN (the cheapest possible layout —
+  scaling-book multi-slice recipe).  Created only when ``n_dcn > 1`` so
+  single-slice meshes keep their 2-axis specs.
+- ``data``  — in-slice batch dimension; gradients are reduced over it by
+  XLA (sharded batch + replicated-or-sharded params => psum over ICI
+  inserted automatically under jit with sharding annotations).
 - ``model`` — tensor parallelism over attention heads / FFN hidden dim;
   XLA inserts the two all-reduces per layer (after attn-out and ffn-out
   projections), riding ICI.
@@ -17,7 +23,7 @@ and in `__graft_entry__.dryrun_multichip`.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Tuple
 
 import jax
 import numpy as np
@@ -25,16 +31,30 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
-              devices: Optional[Sequence] = None) -> Mesh:
+              devices: Optional[Sequence] = None,
+              n_dcn: int = 1) -> Mesh:
+    """(dcn x) data x model mesh.  Device order: JAX orders multi-slice
+    device lists slice-major, so reshaping (n_dcn, n_data, n_model) keeps
+    the ``data``/``model`` axes inside one slice's ICI domain and ``dcn``
+    across slices."""
     devices = list(devices if devices is not None else jax.devices())
     total = len(devices)
     if n_data is None:
-        assert total % n_model == 0
-        n_data = total // n_model
-    assert n_data * n_model <= total, (
-        f"mesh {n_data}x{n_model} > {total} devices")
-    devs = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+        assert total % (n_model * n_dcn) == 0
+        n_data = total // (n_model * n_dcn)
+    need = n_dcn * n_data * n_model
+    assert need <= total, (
+        f"mesh {n_dcn}x{n_data}x{n_model} > {total} devices")
+    if n_dcn > 1:
+        devs = np.asarray(devices[:need]).reshape(n_dcn, n_data, n_model)
+        return Mesh(devs, axis_names=("dcn", "data", "model"))
+    devs = np.asarray(devices[:need]).reshape(n_data, n_model)
     return Mesh(devs, axis_names=("data", "model"))
+
+
+def dp_axes(mesh: Mesh) -> Tuple[str, ...]:
+    """The mesh axes the batch dimension is sharded over."""
+    return tuple(a for a in ("dcn", "data") if a in mesh.axis_names)
 
 
 def _spec_for(path_str: str, ndim: int, tensor_parallel: bool) -> P:
@@ -72,12 +92,13 @@ def param_shardings(params, mesh: Mesh, tensor_parallel: bool = False):
 
 def batch_sharding(mesh: Mesh, with_accum_axis: bool = False
                    ) -> NamedSharding:
-    """Batch arrays are sharded over 'data' on their batch dim.  With
-    gradient accumulation the arrays carry a leading (n_accum,) axis that
-    stays replicated."""
+    """Batch arrays are sharded over the data-parallel axes (dcn+data) on
+    their batch dim.  With gradient accumulation the arrays carry a leading
+    (n_accum,) axis that stays replicated."""
+    axes = dp_axes(mesh)
     if with_accum_axis:
-        return NamedSharding(mesh, P(None, "data"))
-    return NamedSharding(mesh, P("data"))
+        return NamedSharding(mesh, P(None, axes))
+    return NamedSharding(mesh, P(axes))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

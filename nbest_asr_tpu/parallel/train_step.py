@@ -49,10 +49,25 @@ def _gather_micro(data: Dict[str, jnp.ndarray], idx: jnp.ndarray,
     micro = {k: jnp.take(v, idx, axis=0, mode="clip")
              for k, v in data.items()}
     micro["example_mask"] = (idx < n_rows).astype(jnp.float32)
+    return _constrain_micro(micro, mesh)
+
+
+def _constrain_micro(micro: Dict[str, jnp.ndarray], mesh: Optional[Mesh]
+                     ) -> Dict[str, jnp.ndarray]:
+    """Pin a microbatch's batch dim onto the data-parallel mesh axes and
+    make sure an example_mask exists (all-ones when the caller's batches
+    are always full, e.g. the process-sharded direct path)."""
+    from .mesh import dp_axes
+
+    if "example_mask" not in micro:
+        micro = dict(micro)
+        micro["example_mask"] = jnp.ones(
+            (next(iter(micro.values())).shape[0],), jnp.float32)
     if mesh is not None:
+        axes = dp_axes(mesh)
         micro = {
             k: jax.lax.with_sharding_constraint(
-                v, NamedSharding(mesh, P("data", *([None] * (v.ndim - 1)))))
+                v, NamedSharding(mesh, P(axes, *([None] * (v.ndim - 1)))))
             for k, v in micro.items()
         }
     return micro
@@ -80,7 +95,8 @@ def _forward_and_loss(params, cfg: ModelConfig, loss_cfg: LossConfig,
 def make_train_step(cfg: ModelConfig, loss_cfg: LossConfig, optimizer,
                     hier: Dict[str, jnp.ndarray], *, n_accum: int = 1,
                     mesh: Optional[Mesh] = None, dual_stream: bool = True,
-                    donate: bool = True, steps_per_call: int = 1):
+                    donate: bool = True, steps_per_call: int = 1,
+                    data_mode: str = "index"):
     """Returns ``train_step(state, data, idx, rng) -> (state, stats)``.
 
     - ``data``: device-resident dict of full-split arrays (input_ids,
@@ -88,6 +104,13 @@ def make_train_step(cfg: ModelConfig, loss_cfg: LossConfig, optimizer,
     - ``idx``: (n_accum, micro_b) int32 row indices for this step — or
       (steps_per_call, n_accum, micro_b) when step chaining is on.
     - ``stats``: loss parts (summed over micros/steps) + f1 counters.
+
+    ``data_mode="direct"`` is the multi-host path: ``data`` is instead a
+    dict of already-assembled microbatch stacks ``(n_accum, micro_b, ...)``
+    sharded over the data-parallel mesh axes (built per process with
+    `parallel.data_sharding.process_sharded_batch`), and ``idx`` is
+    ignored.  Single-controller index gathering can't work there because
+    no process holds the full split.
 
     ``steps_per_call > 1`` chains K optimizer steps into one compiled
     call via `lax.scan` — the classic TPU train-loop-on-device pattern.
@@ -98,9 +121,8 @@ def make_train_step(cfg: ModelConfig, loss_cfg: LossConfig, optimizer,
     """
 
     def single_step(state: TrainState, data, idx, rng):
-        def micro_grads(micro_idx_and_i):
-            micro_idx, i = micro_idx_and_i
-            micro = _gather_micro(data, micro_idx, mesh)
+        def micro_grads(micro, i):
+            micro = _constrain_micro(micro, mesh)
             mrng = jax.random.fold_in(rng, i)
 
             def loss_fn(p):
@@ -118,10 +140,24 @@ def make_train_step(cfg: ModelConfig, loss_cfg: LossConfig, optimizer,
                 pred, micro["labels"], micro.get("example_mask"))
             return grads, parts, counts
 
+        if data_mode == "index":
+            def micro_at(sel, i):
+                return micro_grads(_gather_micro(data, sel, mesh), i)
+
+            first_sel = idx[0]
+            rest_xs = (idx[1:], jnp.arange(1, n_accum, dtype=jnp.int32))
+        else:
+            def micro_at(sel, i):
+                return micro_grads(sel, i)
+
+            first_sel = {k: v[0] for k, v in data.items()}
+            rest_xs = ({k: v[1:] for k, v in data.items()},
+                       jnp.arange(1, n_accum, dtype=jnp.int32))
+
         def scan_body(carry, xs):
             grads_acc, parts_acc, counts_acc = carry
-            micro_idx, i = xs
-            grads, parts, counts = micro_grads((micro_idx, i))
+            sel, i = xs
+            grads, parts, counts = micro_at(sel, i)
             grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
             parts_acc = jax.tree.map(jnp.add, parts_acc, parts)
             counts_acc = jax.tree.map(jnp.add, counts_acc, counts)
@@ -129,11 +165,10 @@ def make_train_step(cfg: ModelConfig, loss_cfg: LossConfig, optimizer,
 
         # init carry from the first micro, scan the rest (avoids a
         # zeros-like pass over the full param tree)
-        first = micro_grads((idx[0], jnp.int32(0)))
+        first = micro_at(first_sel, jnp.int32(0))
         if n_accum > 1:
             (grads, parts, counts), _ = jax.lax.scan(
-                scan_body, first,
-                (idx[1:], jnp.arange(1, n_accum, dtype=jnp.int32)))
+                scan_body, first, rest_xs)
         else:
             grads, parts, counts = first
 

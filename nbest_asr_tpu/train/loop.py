@@ -224,17 +224,23 @@ class Trainer:
         self.optimizer = make_optimizer(self.opt_cfg, params)
 
         loss_cfg = LossConfig(add_l2_loss=opt.add_l2_loss)
+        # the transcript stream feeds ONLY the optional MSE alignment term
+        # (ref :166-170); without --add_l2_loss its CLS is unused, so the
+        # second encoder pass contributes exactly zero gradient — skip it.
+        # (The reference runs it anyway, ref `models/model.py:50-58` — pure
+        # waste; dropping it is math-identical and ~2x encoder FLOPs.)
+        dual = bool(opt.add_l2_loss)
         self.train_step = make_train_step(
             model_cfg, loss_cfg, self.optimizer, self.hier,
             n_accum=opt.n_accum_steps, mesh=self.mesh,
-            dual_stream=True)
+            dual_stream=dual)
         self.steps_per_call = max(1, opt.steps_per_call)
         self.train_step_chain = None
         if self.steps_per_call > 1:
             self.train_step_chain = make_train_step(
                 model_cfg, loss_cfg, self.optimizer, self.hier,
                 n_accum=opt.n_accum_steps, mesh=self.mesh,
-                dual_stream=True, steps_per_call=self.steps_per_call)
+                dual_stream=dual, steps_per_call=self.steps_per_call)
         self.eval_step = make_eval_step(
             model_cfg, loss_cfg, self.hier, mesh=self.mesh,
             dual_stream=False)
@@ -608,11 +614,8 @@ def build_model(opt: RunOptions, memory: Memory, tokenizer):
     from ..models.encoder import EncoderConfig
     from ..models.hf_convert import load_pretrained_encoder
 
-    hf_names = {
-        "bert": "bert-base-uncased",
-        "roberta": "roberta-base",
-        "xlm-roberta": "xlm-roberta-base",
-    }
+    from ..data.tokenizer import HF_NAMES, resolve_checkpoint
+
     enc_cfg = None
     enc_params = None
     common = dict(
@@ -620,8 +623,10 @@ def build_model(opt: RunOptions, memory: Memory, tokenizer):
         compute_dtype=opt.compute_dtype,
         use_flash_attention=opt.use_flash_attention, remat=opt.remat)
 
-    name = opt.tod_pre_trained_model or hf_names.get(
+    name = opt.tod_pre_trained_model or HF_NAMES.get(
         opt.pre_trained_model or "")
+    if name and not opt.tod_pre_trained_model:
+        name = resolve_checkpoint(name)
     if name:
         try:
             enc_cfg, enc_params = load_pretrained_encoder(name, **common)

@@ -28,6 +28,8 @@ from typing import Dict, Optional, Tuple
 
 import jax.numpy as jnp
 
+from ..ops.layers import acc_dtype
+
 
 @dataclass(frozen=True)
 class LossConfig:
@@ -61,8 +63,9 @@ def total_loss(
         return jnp.sum(x_rows * example_mask.astype(jnp.float32))
 
     # --- bottom BCE (sum) -------------------------------------------- #
-    p = final_scores.astype(jnp.float32)
-    t = labels.astype(jnp.float32)
+    acc = acc_dtype(final_scores.dtype)
+    p = final_scores.astype(acc)
+    t = labels.astype(acc)
     row_bce = -jnp.sum(
         t * jnp.maximum(jnp.log(p), -100.0)
         + (1 - t) * jnp.maximum(jnp.log1p(-p), -100.0),
@@ -73,7 +76,7 @@ def total_loss(
 
     # --- top BCE (sum), unclamped matmul targets ---------------------- #
     top_targets = t @ hier["bottom2top_mat"]                   # (b, n_top)
-    tp = top_scores.astype(jnp.float32)
+    tp = top_scores.astype(acc)
     row_top = -jnp.sum(
         top_targets * jnp.maximum(jnp.log(tp), -100.0)
         + (1 - top_targets) * jnp.maximum(jnp.log1p(-tp), -100.0),
@@ -91,7 +94,7 @@ def total_loss(
     else:
         lbl = t
         logp_mask = None
-    logp = jnp.log(bottom_probs.astype(jnp.float32) + 1e-12)
+    logp = jnp.log(bottom_probs.astype(acc) + 1e-12)
     M = hier["membership"]
     picked = jnp.einsum("bn,tn->bt", lbl * logp, M)
     has_gold = jnp.einsum("bn,tn->bt", lbl, M)
@@ -107,7 +110,7 @@ def total_loss(
 
     # --- optional MSE alignment --------------------------------------- #
     if cfg.add_l2_loss and asr_cls is not None and trans_cls is not None:
-        diff = (asr_cls - trans_cls).astype(jnp.float32)
+        diff = (asr_cls - trans_cls).astype(acc)
         if example_mask is not None:
             diff = diff * example_mask[:, None]
             denom = jnp.maximum(jnp.sum(example_mask), 1.0) * diff.shape[1]

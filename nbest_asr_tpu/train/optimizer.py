@@ -90,6 +90,7 @@ class OptimizerConfig:
     weight_decay: float = 0.01
     max_grad_norm: float = 1.0         # BertAdam per-tensor clip (ref :198)
     l2: float = 0.0                    # plain-adam L2 (reference --l2)
+    fused: bool = False                # Pallas fused BertAdam update
 
 
 def _path_str(path) -> str:
@@ -142,21 +143,49 @@ def bert_adam(cfg: OptimizerConfig, params_template) -> optax.GradientTransforma
 
     def update_fn(grads, state, params):
         assert params is not None
-        # schedule multiplier at the pre-increment step
+        # schedule multiplier at the pre-increment step (weak-typed
+        # division: f32 normally, f64 under jax_enable_x64 so the x64
+        # parity tests see full-precision schedule values)
         if cfg.t_total > 0:
-            progress = state.step.astype(jnp.float32) / cfg.t_total
+            progress = state.step / cfg.t_total
             mult = sched(progress)
         else:
             mult = jnp.asarray(1.0, jnp.float32)
 
-        def clip_one(g):
+        def clip_one(path, g):
+            """Per-*torch-tensor* grad-norm clip (ref :270-271).  The
+            reference clips every ``nn.Parameter`` separately; our encoder
+            stacks all layers into (L, ...) leaves and fuses q/k/v into one
+            (L, h, 3h) kernel, so the clip granularity here is per layer
+            (axis 0) and per q/k/v chunk (last-axis thirds) — the exact
+            tensor set the reference sees, just batched."""
             if cfg.max_grad_norm <= 0:
                 return g
-            norm = jnp.sqrt(jnp.sum(jnp.square(g.astype(jnp.float32))))
-            scale = jnp.minimum(1.0, cfg.max_grad_norm / (norm + 1e-6))
-            return (g.astype(jnp.float32) * scale).astype(g.dtype)
+            s = _path_str(path)
+            g32 = g.astype(jnp.promote_types(g.dtype, jnp.float32))
 
-        grads = jax.tree.map(clip_one, grads)
+            def scaled(x, axes):
+                norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=axes,
+                                        keepdims=True))
+                return x * jnp.minimum(
+                    1.0, cfg.max_grad_norm / (norm + 1e-6))
+
+            if "layers/" in s:
+                if "qkv" in s:
+                    q, k, v = jnp.split(g32, 3, axis=-1)
+                    chunks = jnp.stack([q, k, v], axis=1)  # (L, 3, ...)
+                    axes = tuple(range(2, chunks.ndim))
+                    chunks = scaled(chunks, axes)
+                    g32 = jnp.concatenate(
+                        [chunks[:, 0], chunks[:, 1], chunks[:, 2]],
+                        axis=-1)
+                else:
+                    g32 = scaled(g32, tuple(range(1, g32.ndim)))
+            else:
+                g32 = scaled(g32, tuple(range(g32.ndim)))
+            return g32.astype(g.dtype)
+
+        grads = jax.tree_util.tree_map_with_path(clip_one, grads)
         new_m = jax.tree.map(lambda m, g: cfg.b1 * m + (1 - cfg.b1) * g,
                              state.m, grads)
         new_v = jax.tree.map(lambda v, g: cfg.b2 * v + (1 - cfg.b2) * g * g,

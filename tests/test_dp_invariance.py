@@ -136,3 +136,91 @@ def test_step_chaining_matches_single_steps(tiny_memory):
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(sK.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6, rtol=1e-6)
+
+
+def test_dcn2_dp2_tp2_matches_single_device(tiny_memory):
+    """3-axis mesh (2-slice DCN data parallel x in-slice dp x tensor
+    parallel): parameters after 3 steps must equal the single-device run —
+    the dcn gradient psum is math-invisible."""
+    mem, hier, cfg, params, data = _setup(tiny_memory)
+    mesh1 = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+    mesh222 = make_mesh(n_data=2, n_model=2, n_dcn=2)
+    assert mesh222.axis_names == ("dcn", "data", "model")
+
+    p1, _ = _run_steps(cfg, hier, params, data, mesh1, False)
+    p222, _ = _run_steps(cfg, hier, params, data, mesh222, True)
+
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p222)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_direct_mode_matches_index_mode(tiny_memory):
+    """Multi-host input path: microbatch stacks assembled with
+    process_sharded_batch + data_mode='direct' must produce the exact
+    state an index-gathered step produces on the same rows."""
+    from nbest_asr_tpu.parallel.data_sharding import process_sharded_batch
+
+    mem, hier, cfg, params, data = _setup(tiny_memory)
+    mesh = make_mesh(n_data=4, n_model=2)
+    opt_cfg = OptimizerConfig(optim_choice="bertadam", lr=1e-3,
+                              bert_lr=1e-3, t_total=100)
+
+    def fresh(optimizer):
+        p = jax.device_put(params, param_shardings(params, mesh, True))
+        return TrainState(params=p, opt_state=optimizer.init(p),
+                          step=jnp.zeros([], jnp.int32))
+
+    idx = jnp.asarray(np.arange(16, dtype=np.int32).reshape(2, 8))
+    rng = jax.random.PRNGKey(7)
+
+    opt_a = make_optimizer(opt_cfg, params)
+    step_a = make_train_step(cfg, LossConfig(), opt_a, hier, n_accum=2,
+                             mesh=mesh, dual_stream=True, donate=False)
+    sa, st_a = step_a(fresh(opt_a), data, idx, rng)
+
+    # single-process: local shard == the full global batch
+    local = {k: np.asarray(v).reshape((2, 8) + v.shape[1:])
+             for k, v in data.items()}
+    micros = process_sharded_batch(mesh, local)
+    opt_b = make_optimizer(opt_cfg, params)
+    step_b = make_train_step(cfg, LossConfig(), opt_b, hier, n_accum=2,
+                             mesh=mesh, dual_stream=True, donate=False,
+                             data_mode="direct")
+    sb, st_b = step_b(fresh(opt_b), micros, idx, rng)
+
+    np.testing.assert_allclose(float(st_a["loss"]["total"]),
+                               float(st_b["loss"]["total"]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(jax.device_get(sa.params)),
+                    jax.tree.leaves(jax.device_get(sb.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_single_stream_matches_dual_without_l2(tiny_memory):
+    """Without --add_l2_loss the transcript encoder pass contributes zero
+    gradient (its CLS feeds only the MSE term) — the Trainer skips it for
+    ~2x encoder FLOPs.  Pin exact math equality of the two step variants."""
+    mem, hier, cfg, params, data = _setup(tiny_memory)
+    mesh = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+    opt_cfg = OptimizerConfig(optim_choice="bertadam", lr=1e-3,
+                              bert_lr=1e-3, t_total=100)
+    idx = jnp.asarray(np.arange(16, dtype=np.int32).reshape(2, 8))
+    rng = jax.random.PRNGKey(7)
+
+    results = {}
+    for dual in (True, False):
+        opt = make_optimizer(opt_cfg, params)
+        p = jax.device_put(params, param_shardings(params, mesh, False))
+        st = TrainState(params=p, opt_state=opt.init(p),
+                        step=jnp.zeros([], jnp.int32))
+        step = make_train_step(cfg, LossConfig(add_l2_loss=False), opt,
+                               hier, n_accum=2, mesh=mesh,
+                               dual_stream=dual, donate=False)
+        st, stats = step(st, data, idx, rng)
+        results[dual] = (jax.device_get(st.params),
+                         float(stats["loss"]["total"]))
+
+    assert results[True][1] == results[False][1]
+    for a, b in zip(jax.tree.leaves(results[True][0]),
+                    jax.tree.leaves(results[False][0])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -1,0 +1,219 @@
+"""Hot-path micro-benchmarks on the real TPU: step-time decomposition.
+
+Times, at the production configuration (BERT-base 12L/768H, bf16 compute,
+micro-batch 64, seq 256):
+
+1. the full jitted train step (fwd+bwd+BertAdam, dual stream),
+2. the BertAdam update alone (optimizer HBM traffic),
+3. attention XLA vs Pallas flash at the per-bucket shapes.
+
+Each measurement runs N data-dependent iterations inside ONE jitted
+`lax.scan`, so executions serialize on-device and the per-dispatch tunnel
+latency is amortized — naive loop-and-block timing here overlaps queued
+executions and reports impossible numbers.
+
+Usage: python tools/perf_probe.py [--what step,opt,attn] [--batch 64]
+One TPU client at a time — don't run while bench/CLI runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_scan(body, carry, consts=(), n=20):
+    """Seconds per body iteration, measured as (T(2n) - T(n)) / n over two
+    scan lengths.  Gotchas this works around on the tunneled backend:
+    - ``consts`` MUST carry every big device array the body uses —
+      closure-captured arrays are inlined as HLO literals (and blow up the
+      remote compile request);
+    - the returned value is a REDUCED SCALAR fetched to the host —
+      `block_until_ready` on this backend resolves before remote execution
+      finishes, so only a data fetch observes completion;
+    - the two-length difference cancels the constant dispatch+RTT+fetch
+      overhead (~30 ms) that would swamp ms-scale kernels."""
+    import jax
+    import jax.numpy as jnp
+
+    def make_chain(length):
+        @jax.jit
+        def chain(carry, consts):
+            out, _ = jax.lax.scan(lambda c, _: (body(c, consts), None),
+                                  carry, None, length=length)
+            # reduce EVERY leaf: any carry component not feeding the
+            # fetched scalar is dead code XLA deletes from the loop
+            return sum(jnp.sum(l.astype(jnp.float32))
+                       for l in jax.tree.leaves(out))
+        return chain
+
+    c1, c2 = make_chain(n), make_chain(2 * n)
+    ts = {}
+    for tag, chain in (("n", c1), ("2n", c2)):
+        float(chain(carry, consts))  # warm/compile
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(chain(carry, consts))
+            best = min(best, time.perf_counter() - t0)
+        ts[tag] = best
+    return max((ts["2n"] - ts["n"]) / n, 1e-9)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--what", default="step,opt,attn")
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--seq", type=int, default=256)
+    ap.add_argument("--fused_adam", action="store_true")
+    ap.add_argument("--flash_dropout", action="store_true")
+    args = ap.parse_args()
+    what = set(args.what.split(","))
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_default_prng_impl", "rbg")
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from nbest_asr_tpu.models.encoder import EncoderConfig
+    from nbest_asr_tpu.models.model import ModelConfig, init_model_params
+    from nbest_asr_tpu.train.optimizer import OptimizerConfig, make_optimizer
+
+    b, s = args.batch, args.seq
+    enc = EncoderConfig(vocab_size=30522, compute_dtype="bfloat16")
+    cfg = ModelConfig(encoder=enc, n_top=30, n_bottom=161)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params = init_model_params(jax.random.PRNGKey(0), cfg)
+    params = jax.device_put(params, jax.devices()[0])
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    print(f"params: {n_params/1e6:.1f}M   batch {b} x seq {s}")
+
+    opt_cfg = OptimizerConfig(optim_choice="bertadam", lr=5e-4,
+                              bert_lr=3e-5, warmup_proportion=0.1,
+                              t_total=1000, fused=args.fused_adam)
+    optimizer = make_optimizer(opt_cfg, params)
+
+    if "opt" in what:
+        import optax
+
+        opt_state = jax.jit(optimizer.init)(params)
+        grads = jax.tree.map(lambda p: (p * 1e-4).astype(p.dtype), params)
+
+        def body(carry, g):
+            p, st = carry
+            updates, st = optimizer.update(g, st, p)
+            return optax.apply_updates(p, updates), st
+
+        dt = run_scan(body, (params, opt_state), grads, n=20)
+        traffic = n_params * 4 * 8  # g,m,v,p reads + m,v,p,u writes (f32)
+        print(f"[opt{' fused' if args.fused_adam else ''}]  "
+              f"BertAdam update+apply: {dt*1e3:.3f} ms   "
+              f"(8-pass equivalent BW {traffic/dt/1e9:.0f} GB/s)")
+
+    if "attn" in what:
+        from nbest_asr_tpu.ops.attention import multi_head_attention
+
+        h, d = 12, 64
+        kq = jax.random.PRNGKey(1)
+        q = jax.random.normal(kq, (b, s, h, d), jnp.bfloat16)
+        k = jax.random.normal(kq, (b, s, h, d), jnp.bfloat16)
+        v = jax.random.normal(kq, (b, s, h, d), jnp.bfloat16)
+        mask = jnp.ones((b, s), jnp.float32)
+        rng = jax.random.PRNGKey(2)
+        drop = 0.1 if args.flash_dropout else 0.0
+
+        for tag, flash in (("xla", False), ("flash", True)):
+            def fwd_body(qc, consts, fl=flash):
+                kk, vv, mm = consts
+                out = multi_head_attention(
+                    qc, kk, vv, mm, dropout_rate=drop, dropout_rng=rng,
+                    deterministic=drop == 0.0, use_flash=fl)
+                # sum(out), not out[0]: a single-element probe lets XLA
+                # slice the whole computation down to one attention row
+                return qc + (jnp.sum(out.astype(jnp.float32))
+                             * 1e-30).astype(qc.dtype)
+
+            dt = run_scan(fwd_body, q, (k, v, mask), n=20)
+            flops = 4 * b * h * s * s * d  # QK^T + PV
+            print(f"[attn fwd{' drop' if drop else ''}] {tag}: "
+                  f"{dt*1e3:.3f} ms  ({flops/dt/1e12:.0f} TF/s)")
+
+            def loss(qc, kk, vv, mm, fl=flash):
+                return jnp.sum(multi_head_attention(
+                    qc, kk, vv, mm, dropout_rate=drop, dropout_rng=rng,
+                    deterministic=drop == 0.0,
+                    use_flash=fl).astype(jnp.float32))
+
+            def bwd_body(qc, consts, fl=flash):
+                kk, vv, mm = consts
+                dq = jax.grad(loss)(qc, kk, vv, mm, fl)
+                return qc + (jnp.sum(dq.astype(jnp.float32))
+                             * 1e-30).astype(qc.dtype)
+
+            dt = run_scan(bwd_body, q, (k, v, mask), n=20)
+            print(f"[attn fwd+bwd{' drop' if drop else ''}] {tag}: "
+                  f"{dt*1e3:.3f} ms  ({3*flops/dt/1e12:.0f} TF/s)")
+
+    if "step" in what:
+        from nbest_asr_tpu.models.heads import hierarchy_device_arrays
+        from nbest_asr_tpu.data.vocab import Memory
+        from nbest_asr_tpu.parallel.train_step import (TrainState,
+                                                       make_train_step)
+        from nbest_asr_tpu.train.losses import LossConfig
+
+        mem_path = "/root/reference/dstc2_data/processed_data/raw/memory.pt"
+        memory = Memory.from_torch_pt(mem_path)
+        hier = hierarchy_device_arrays(memory.arrays())
+        rng = np.random.RandomState(0)
+        n_rows = 512
+        data = {
+            "input_ids": jnp.asarray(
+                rng.randint(1, 30000, (n_rows, s)), jnp.int32),
+            "attn_mask": jnp.ones((n_rows, s), jnp.float32),
+            "segment_ids": jnp.zeros((n_rows, s), jnp.int32),
+            "trans_input_ids": jnp.asarray(
+                rng.randint(1, 30000, (n_rows, s)), jnp.int32),
+            "trans_attn_mask": jnp.ones((n_rows, s), jnp.float32),
+            "trans_segment_ids": jnp.zeros((n_rows, s), jnp.int32),
+            "labels": jnp.asarray(
+                (rng.rand(n_rows, 161) < 0.02).astype(np.float32)),
+        }
+        step_fn = make_train_step(cfg, LossConfig(False), optimizer, hier,
+                                  n_accum=1, mesh=None, dual_stream=True,
+                                  donate=False)
+        state = TrainState(params=params,
+                           opt_state=jax.jit(optimizer.init)(params),
+                           step=jnp.zeros([], jnp.int32))
+        idx = jnp.asarray(np.arange(b, dtype=np.int32).reshape(1, b))
+        key = jax.random.PRNGKey(0)
+
+        def body(st, d):
+            new_state, stats = step_fn(st, d, idx, key)
+            return new_state
+
+        dt = run_scan(body, state, data, n=10)
+        # encoder FLOPs: 12 layers x (qkv 3h^2 + out h^2 + ffn 8h^2) per
+        # token x 2 streams x 3 (fwd + 2x bwd) x 2 (MACs)
+        h_ = 768
+        per_tok = 12 * 12 * h_ * h_
+        tokens = b * s
+        flops = 2 * 3 * 2 * per_tok * tokens
+        print(f"[step] full train step: {dt*1e3:.2f} ms   "
+              f"(matmul {flops/dt/1e12:.0f} TF/s, MFU "
+              f"{flops/dt/394e12*100:.0f}% of v5e bf16 peak)")
+
+
+if __name__ == "__main__":
+    main()
