@@ -106,10 +106,16 @@ def main() -> None:
     opt.exp_dir = "/tmp/bench_exp"
 
     # BERT-base-sized encoder; the word-vocab ids index a 30522 table so
-    # the embedding/grad cost matches a real bert-base-uncased fine-tune
+    # the embedding/grad cost matches a real bert-base-uncased fine-tune.
+    # Flash attention with in-kernel dropout is the TRAINING default on
+    # TPU (~20% faster step at this config, tools/perf_probe.py; eval
+    # stays on XLA via the ops/attention.py router)
+    from nbest_asr_tpu.ops.attention import resolve_flash
+
     enc = EncoderConfig.bert_base(
         vocab_size=30522, compute_dtype="bfloat16",
-        hidden_dropout=opt.bert_dropout, attn_dropout=opt.bert_dropout)
+        hidden_dropout=opt.bert_dropout, attn_dropout=opt.bert_dropout,
+        use_flash_attention=resolve_flash(None))
     cfg = ModelConfig(encoder=enc, n_top=memory.n_top,
                       n_bottom=memory.n_bottom)
     # init on the CPU backend: dozens of tiny init compiles would each

@@ -83,7 +83,10 @@ class RunOptions:
     prng_impl: str = "rbg"                # dropout-mask PRNG; "rbg" makes
     # attention-prob dropout ~free on TPU (threefry costs ~20% of the
     # train step at BERT-base/seq-256; measured on v5e)
-    use_flash_attention: bool = False
+    use_flash_attention: "bool | None" = None  # None = auto: Pallas
+    # attention on the TRAINING path when running on a TPU backend (it
+    # wins there with in-kernel dropout, tools/perf_probe.py); eval stays
+    # on XLA either way (ops/attention.py routing)
     remat: bool = False
     n_model_parallel: int = 1             # tensor-parallel mesh axis
     len_multiple: int = 8                 # pad lengths to this multiple
@@ -205,7 +208,12 @@ def parse_arguments(argv=None) -> RunOptions:
                    choices=["float32", "bfloat16"])
     p.add_argument("--prng_impl", default=d.prng_impl,
                    choices=["rbg", "unsafe_rbg", "threefry2x32"])
-    p.add_argument("--use_flash_attention", action="store_true")
+    p.add_argument("--use_flash_attention", action="store_true",
+                   default=None, help="force the Pallas attention kernel "
+                   "on the training path (default: auto — on for TPU)")
+    p.add_argument("--no_flash_attention", dest="use_flash_attention",
+                   action="store_false", help="force the XLA attention "
+                   "path everywhere")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--n_model_parallel", type=int, default=1)
     p.add_argument("--len_multiple", type=int, default=d.len_multiple)

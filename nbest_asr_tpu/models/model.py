@@ -69,6 +69,11 @@ def model_forward(
     pass None to skip it (eval-time single-stream mode).
     """
     if rng is None:
+        if not deterministic:
+            # a silent PRNGKey(0) default would make dropout identical
+            # every step — a training-quality bug with plausible logs
+            raise ValueError(
+                "model_forward: deterministic=False requires an rng")
         rng = jax.random.PRNGKey(0)
     r_asr, r_trans, r_head = jax.random.split(rng, 3)
 

@@ -16,6 +16,18 @@ import jax.numpy as jnp
 from .layers import dropout
 
 
+def resolve_flash(flag) -> bool:
+    """Resolve the tri-state --use_flash_attention flag: None = auto =
+    Pallas attention on the training path when the backend is a real
+    accelerator (it needs Mosaic lowering; interpret mode on CPU is for
+    tests only)."""
+    if flag is not None:
+        return bool(flag)
+    import jax
+
+    return jax.default_backend() != "cpu"
+
+
 def multi_head_attention(
     q: jnp.ndarray,                # (b, s, n_heads, d_head)
     k: jnp.ndarray,
@@ -27,12 +39,25 @@ def multi_head_attention(
     deterministic: bool = True,
     use_flash: bool = False,
 ) -> jnp.ndarray:
-    """Returns (b, s, n_heads, d_head)."""
-    if use_flash and (deterministic or dropout_rate == 0.0):
-        # attention-prob dropout is not implemented in the flash kernel;
-        # callers fall back to the XLA path while training with dropout > 0.
+    """Returns (b, s, n_heads, d_head).
+
+    Routing (measured on v5e at DSTC2 scale, `tools/perf_probe.py`):
+    the TRAINING path goes to the Pallas kernel — with attn dropout > 0
+    its in-kernel regenerable masks make it ~2x faster than XLA fwd+bwd
+    (XLA materializes the (b, h, s, s) probs + mask in HBM for the
+    backward, and the host-PRNG mask generation breaks its fused-attention
+    pattern); with dropout 0 it is ~14% slower but keeps the no-residual
+    memory profile (batch 64 x 256 trains where XLA OOMs).  DETERMINISTIC
+    (eval/serving) attention stays on XLA, whose own fusion runs at ~peak
+    for the dropout-free forward and has no backward to pay for.
+    """
+    if use_flash and not deterministic:
         from .flash_attention import flash_attention
 
+        if dropout_rate > 0.0:
+            return flash_attention(q, k, v, attn_mask,
+                                   dropout_rate=dropout_rate,
+                                   dropout_rng=dropout_rng)
         return flash_attention(q, k, v, attn_mask)
 
     from .layers import acc_dtype

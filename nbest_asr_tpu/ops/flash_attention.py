@@ -12,16 +12,26 @@ Layout: the core kernels take (batch, heads, seq, head_dim); the public
 activations and pads seq to the 128-lane block size (padded kv columns are
 masked, padded q rows are sliced off afterwards).
 
-Non-causal only (bidirectional encoder); attention-prob dropout is not
-implemented in-kernel — the encoder routes to the XLA path when training
-with attn_dropout > 0 (`ops/attention.py`).
+Non-causal only (bidirectional encoder).
 
-Measured on v5e at DSTC2 scale (seq <= 256, head_dim 64): XLA's fused
-attention is faster (the kernel pays grid overhead that only amortizes at
-longer sequences), so flash stays opt-in.  What it buys today is memory —
-batch 64 x seq 256 trains under flash where the XLA path OOMs the 16G
-chip — and it is the on-ramp to ring attention / context parallelism for
-long-context variants (SURVEY.md §5.7).
+**In-kernel attention-prob dropout** (the reference trains with
+``bert_dropout=0.1`` inside HF's attention, `n_best_asr_bert.py:79`): each
+(b, h, q-block, kv-block) tile seeds the per-core TPU PRNG with a
+deterministic hash of (caller seed, tile id) and regenerates the *same*
+keep-mask in the forward and both backward kernels — the (s, s) mask never
+exists in HBM.  The online-softmax denominator uses the *undropped*
+probabilities (dropout applies to the normalized probs, and the mask
+commutes with the final 1/l scaling), and the backward identity
+``di = sum(do * o) = sum(dP̄ ⊙ P̄)`` still holds under dropout because
+``o = (M/keep ⊙ P̄) V`` makes both sides contract the same masked terms.
+
+Why this matters for speed: at training time the XLA path materializes the
+(b, h, s, s) probs and its dropout mask in HBM for the backward pass; the
+flash path writes only (o, lse) and regenerates everything else on-chip.
+The deterministic (eval) comparison at seq <= 256 / head_dim 64 still
+favors XLA's fused attention, but with dropout on, flash removes ~s^2 HBM
+traffic per layer — measure via `tools/perf_probe.py`.  Flash also wins
+memory: batch 64 x seq 256 trains under flash where XLA OOMs the 16G chip.
 """
 
 from __future__ import annotations
@@ -43,12 +53,42 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _keep_mask(seed_ref, rate: float, tile_id, shape):
+    """Regenerable per-tile dropout keep-mask.  Seeding the per-core PRNG
+    with hash(caller seed, tile id) makes the same (b, h, q-block,
+    kv-block) tile produce identical bits in the forward and both backward
+    kernels — the mask is never stored.  Keep iff bits >= rate * 2^32."""
+    pltpu.prng_seed(seed_ref[0] ^ (tile_id * jnp.int32(-1640531527)))
+    # prng_random_bits yields *signed* int32 on TPU — bitcast before the
+    # unsigned threshold compare or the negative half is always dropped
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    thresh = jnp.uint32(min(int(rate * 2.0 ** 32), 2 ** 32 - 1))
+    return bits >= thresh
+
+
+def _fwd_tile_id():
+    """Linear tile id for the forward/dq grid order (b, h, q, kv)."""
+    nh, nq, nkv = (pl.num_programs(1), pl.num_programs(2),
+                   pl.num_programs(3))
+    return ((pl.program_id(0) * nh + pl.program_id(1)) * nq
+            + pl.program_id(2)) * nkv + pl.program_id(3)
+
+
+def _dkv_tile_id():
+    """Same linear id from the dKV grid order (b, h, kv, q)."""
+    nh, nq, nkv = (pl.num_programs(1), pl.num_programs(3),
+                   pl.num_programs(2))
+    return ((pl.program_id(0) * nh + pl.program_id(1)) * nq
+            + pl.program_id(3)) * nkv + pl.program_id(2)
+
+
 # ===================================================================== #
 # forward
 # ===================================================================== #
 
-def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
-                m_scr, l_scr, acc_scr, *, sm_scale: float, n_kv: int):
+def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, seed_ref, o_ref, lse_ref,
+                m_scr, l_scr, acc_scr, *, sm_scale: float, n_kv: int,
+                dropout_rate: float):
     kv_idx = pl.program_id(3)
 
     @pl.when(kv_idx == 0)
@@ -77,9 +117,18 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
     m_scr[...] = m_next
     l_scr[...] = l_next
 
+    if dropout_rate > 0.0:
+        # dropout applies to the normalized probs; the mask commutes with
+        # the final 1/l scaling, so masking the unnormalized p here while
+        # l accumulates the UNdropped p is exact
+        keep = _keep_mask(seed_ref, dropout_rate, _fwd_tile_id(), p.shape)
+        p_acc = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
+    else:
+        p_acc = p
+
     v = v_ref[0, 0].astype(jnp.float32)          # (bk, d)
     acc_scr[...] = acc_scr[...] * alpha[:, :1] + jnp.dot(
-        p, v, preferred_element_type=jnp.float32,
+        p_acc, v, preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)
 
     @pl.when(kv_idx == n_kv - 1)
@@ -94,14 +143,16 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
             lse[:, 0][None, :], lse_ref.shape[3:]).astype(lse_ref.dtype)
 
 
-def _fwd_call(q, k, v, kv_mask, sm_scale, block_q, block_k):
+def _fwd_call(q, k, v, kv_mask, seed, sm_scale, block_q, block_k,
+              dropout_rate):
     """Returns (o (b,h,s,d), lse (b,h,s) f32)."""
     b, h, s, d = q.shape
     n_q = s // block_q
     n_kv = s // block_k
 
     o, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, sm_scale=sm_scale, n_kv=n_kv),
+        functools.partial(_fwd_kernel, sm_scale=sm_scale, n_kv=n_kv,
+                          dropout_rate=dropout_rate),
         grid=(b, h, n_q, n_kv),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d),
@@ -112,6 +163,7 @@ def _fwd_call(q, k, v, kv_mask, sm_scale, block_q, block_k):
                          lambda b_, h_, q_, kv: (b_, h_, kv, 0)),
             pl.BlockSpec((1, 1, block_k),
                          lambda b_, h_, q_, kv: (b_, 0, kv)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, 1, block_q, d),
@@ -132,7 +184,7 @@ def _fwd_call(q, k, v, kv_mask, sm_scale, block_q, block_k):
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary"),
         ),
-    )(q, k, v, kv_mask)
+    )(q, k, v, kv_mask, seed)
     return o, lse[:, :, :, 0, :].reshape(b, h, s)
 
 
@@ -154,8 +206,8 @@ def _recompute_p(q_ref, k_ref, mask_ref, lse_ref, sm_scale):
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
-                    di_ref, dk_ref, dv_ref, dk_scr, dv_scr,
-                    *, sm_scale: float, n_q: int):
+                    di_ref, seed_ref, dk_ref, dv_ref, dk_scr, dv_scr,
+                    *, sm_scale: float, n_q: int, dropout_rate: float):
     q_idx = pl.program_id(3)
 
     @pl.when(q_idx == 0)
@@ -168,15 +220,27 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
     do = do_ref[0, 0].astype(jnp.float32)         # (bq, d)
     di = di_ref[0, 0][:, :1]                      # (bq, 1)
 
-    dv_scr[...] += jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)      # p^T @ do -> (bk, d)
-
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)      # (bq, bk)
+
+    if dropout_rate > 0.0:
+        # o = (M/keep ⊙ P̄) V:  dV = (M/keep ⊙ P̄)^T dO and
+        # dP̄ = M/keep ⊙ (dO V^T); the di = sum(do*o) rescaling identity
+        # is unchanged (both sides contract the same masked terms)
+        keep = _keep_mask(seed_ref, dropout_rate, _dkv_tile_id(), p.shape)
+        inv_keep = 1.0 / (1.0 - dropout_rate)
+        p_v = jnp.where(keep, p * inv_keep, 0.0)
+        dp = jnp.where(keep, dp * inv_keep, 0.0)
+    else:
+        p_v = p
+
+    dv_scr[...] += jax.lax.dot_general(
+        p_v, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)      # p^T @ do -> (bk, d)
+
     ds = p * (dp - di) * sm_scale
     dk_scr[...] += jax.lax.dot_general(
         ds, q, (((0,), (0,)), ((), ())),
@@ -190,7 +254,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
-                   di_ref, dq_ref, dq_scr, *, sm_scale: float, n_kv: int):
+                   di_ref, seed_ref, dq_ref, dq_scr,
+                   *, sm_scale: float, n_kv: int, dropout_rate: float):
     kv_idx = pl.program_id(3)
 
     @pl.when(kv_idx == 0)
@@ -206,6 +271,9 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
         do, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)
+    if dropout_rate > 0.0:
+        keep = _keep_mask(seed_ref, dropout_rate, _fwd_tile_id(), p.shape)
+        dp = jnp.where(keep, dp * (1.0 / (1.0 - dropout_rate)), 0.0)
     ds = p * (dp - di) * sm_scale
     dq_scr[...] += jnp.dot(ds, k, preferred_element_type=jnp.float32,
                            precision=jax.lax.Precision.HIGHEST)
@@ -222,22 +290,172 @@ def _stats_tiles(x_bhs: jnp.ndarray) -> jnp.ndarray:
 
 
 # ===================================================================== #
+# single-block fused attention (seq <= 512): the DSTC2 production path
+# ===================================================================== #
+#
+# At DSTC2 shapes (padded seq <= 512) the whole sequence fits one VMEM
+# block, so the general tiled kernels above pay pure overhead: online-
+# softmax bookkeeping, two backward kernels that each recompute the score
+# matrix, and -- dominating at these sizes -- six HBM layout transposes
+# (b,s,h,d) <-> (b,h,s,d) per fwd+bwd.  This specialization:
+#
+# - takes the encoder's native (b, s, h*d) layout (h*d = 768 = 6 x 128
+#   lanes, perfectly tiled; NO transposes anywhere),
+# - grids over batch only and loops heads in-kernel (12x more work per
+#   grid step; Pallas double-buffers the next batch row during compute),
+# - runs plain (not online) softmax per head, keeps no residuals but the
+#   inputs (backward recomputes the probs ONCE and emits dq, dk, dv from
+#   a single kernel: 5 dots/head vs the tiled path's 7),
+# - regenerates the same in-kernel dropout mask in fwd and bwd.
+
+SB_MAX_SEQ = 512
+
+
+def _sb_dot(a, b, dims):
+    """MXU dot in the operands' NATIVE dtype with f32 accumulation —
+    exactly the XLA oracle's einsum(..., preferred_element_type=f32) on
+    bf16 activations.  Upcasting operands to f32 first would force a
+    multi-pass f32 MXU matmul (~4x slower).  Precision is per-dtype:
+    HIGHEST for f32 operands (full-precision unit-test path), default for
+    bf16 (Mosaic rejects contract_precision=fp32 on bf16 vectors)."""
+    prec = (jax.lax.Precision.HIGHEST if a.dtype == jnp.float32
+            else None)
+    return jax.lax.dot_general(
+        a, b, (dims, ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+
+
+def _sb_probs(q_ref, k_ref, mask_ref, i, d, sm_scale):
+    """(s, s) normalized attention probs for head i, f32."""
+    q = q_ref[0][:, i * d:(i + 1) * d]
+    k = k_ref[0][:, i * d:(i + 1) * d]
+    s_ = _sb_dot(q, k, ((1,), (1,))) * sm_scale
+    kv_mask = mask_ref[0, 0]                       # (s,)
+    s_ = jnp.where(kv_mask[None, :] > 0, s_, MASK_VALUE)
+    m = jnp.max(s_, axis=1, keepdims=True)
+    p = jnp.exp(s_ - m)
+    return p / jnp.sum(p, axis=1, keepdims=True)
+
+
+def _sb_fwd_kernel(q_ref, k_ref, v_ref, mask_ref, seed_ref, o_ref,
+                   *, sm_scale: float, n_heads: int, d: int,
+                   dropout_rate: float):
+    cdt = o_ref.dtype
+    for i in range(n_heads):
+        p = _sb_probs(q_ref, k_ref, mask_ref, i, d, sm_scale)
+        if dropout_rate > 0.0:
+            tid = pl.program_id(0) * n_heads + i
+            keep = _keep_mask(seed_ref, dropout_rate, tid, p.shape)
+            p = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
+        v = v_ref[0][:, i * d:(i + 1) * d]
+        o_ref[0, :, i * d:(i + 1) * d] = _sb_dot(
+            p.astype(cdt), v, ((1,), (0,))).astype(cdt)
+
+
+def _sb_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, seed_ref,
+                   dq_ref, dk_ref, dv_ref,
+                   *, sm_scale: float, n_heads: int, d: int,
+                   dropout_rate: float):
+    cdt = q_ref.dtype
+    for i in range(n_heads):
+        p = _sb_probs(q_ref, k_ref, mask_ref, i, d, sm_scale)
+        do = do_ref[0][:, i * d:(i + 1) * d]
+        v = v_ref[0][:, i * d:(i + 1) * d]
+        dp = _sb_dot(do, v, ((1,), (1,)))          # (s, s) f32
+        if dropout_rate > 0.0:
+            tid = pl.program_id(0) * n_heads + i
+            keep = _keep_mask(seed_ref, dropout_rate, tid, p.shape)
+            inv_keep = 1.0 / (1.0 - dropout_rate)
+            p_v = jnp.where(keep, p * inv_keep, 0.0)
+            dp = jnp.where(keep, dp * inv_keep, 0.0)
+        else:
+            p_v = p
+        dv_ref[0, :, i * d:(i + 1) * d] = _sb_dot(
+            p_v.astype(cdt), do, ((0,), (0,))).astype(dv_ref.dtype)
+        # di = sum_k dPbar ⊙ Pbar (== sum(do*o) -- same masked contraction)
+        di = jnp.sum(dp * p, axis=1, keepdims=True)
+        ds = (p * (dp - di) * sm_scale).astype(cdt)
+        q = q_ref[0][:, i * d:(i + 1) * d]
+        k = k_ref[0][:, i * d:(i + 1) * d]
+        dq_ref[0, :, i * d:(i + 1) * d] = _sb_dot(
+            ds, k, ((1,), (0,))).astype(dq_ref.dtype)
+        dk_ref[0, :, i * d:(i + 1) * d] = _sb_dot(
+            ds, q, ((0,), (0,))).astype(dk_ref.dtype)
+
+
+def _sb_specs(b, s, hd):
+    row = pl.BlockSpec((1, s, hd), lambda b_: (b_, 0, 0))
+    mask = pl.BlockSpec((1, 1, s), lambda b_: (b_, 0, 0))
+    seed = pl.BlockSpec(memory_space=pltpu.SMEM)
+    return row, mask, seed
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _sb_core(q, k, v, kv_mask, seed, sm_scale, n_heads, dropout_rate):
+    """q/k/v: (b, s, h*d); kv_mask: (b, 1, s); returns o: (b, s, h*d)."""
+    b, s, hd = q.shape
+    row, mask, seed_spec = _sb_specs(b, s, hd)
+    return pl.pallas_call(
+        functools.partial(_sb_fwd_kernel, sm_scale=sm_scale,
+                          n_heads=n_heads, d=hd // n_heads,
+                          dropout_rate=dropout_rate),
+        grid=(b,),
+        in_specs=[row, row, row, mask, seed_spec],
+        out_specs=row,
+        out_shape=jax.ShapeDtypeStruct((b, s, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+    )(q, k, v, kv_mask, seed)
+
+
+def _sb_core_fwd(q, k, v, kv_mask, seed, sm_scale, n_heads, dropout_rate):
+    o = _sb_core(q, k, v, kv_mask, seed, sm_scale, n_heads, dropout_rate)
+    return o, (q, k, v, kv_mask, seed)
+
+
+def _sb_core_bwd(sm_scale, n_heads, dropout_rate, res, do):
+    q, k, v, kv_mask, seed = res
+    b, s, hd = q.shape
+    row, mask, seed_spec = _sb_specs(b, s, hd)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_sb_bwd_kernel, sm_scale=sm_scale,
+                          n_heads=n_heads, d=hd // n_heads,
+                          dropout_rate=dropout_rate),
+        grid=(b,),
+        in_specs=[row, row, row, mask, row, seed_spec],
+        out_specs=(row, row, row),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((b, s, hd), q.dtype) for _ in range(3)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+    )(q, k, v, kv_mask, do, seed)
+    return dq, dk, dv, None, None
+
+
+_sb_core.defvjp(_sb_core_fwd, _sb_core_bwd)
+
+
+# ===================================================================== #
 # custom-vjp core + public wrapper
 # ===================================================================== #
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _flash_core(q, k, v, kv_mask, sm_scale, block_q, block_k):
-    o, _ = _fwd_call(q, k, v, kv_mask, sm_scale, block_q, block_k)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash_core(q, k, v, kv_mask, seed, sm_scale, block_q, block_k,
+                dropout_rate):
+    o, _ = _fwd_call(q, k, v, kv_mask, seed, sm_scale, block_q, block_k,
+                     dropout_rate)
     return o
 
 
-def _flash_core_fwd(q, k, v, kv_mask, sm_scale, block_q, block_k):
-    o, lse = _fwd_call(q, k, v, kv_mask, sm_scale, block_q, block_k)
-    return o, (q, k, v, kv_mask, o, lse)
+def _flash_core_fwd(q, k, v, kv_mask, seed, sm_scale, block_q, block_k,
+                    dropout_rate):
+    o, lse = _fwd_call(q, k, v, kv_mask, seed, sm_scale, block_q, block_k,
+                       dropout_rate)
+    return o, (q, k, v, kv_mask, seed, o, lse)
 
 
-def _flash_core_bwd(sm_scale, block_q, block_k, res, do):
-    q, k, v, kv_mask, o, lse = res
+def _flash_core_bwd(sm_scale, block_q, block_k, dropout_rate, res, do):
+    q, k, v, kv_mask, seed, o, lse = res
     b, h, s, d = q.shape
     n_q = s // block_q
     n_kv = s // block_k
@@ -264,7 +482,8 @@ def _flash_core_bwd(sm_scale, block_q, block_k, res, do):
         return lambda b_, h_, q_, kv: (b_, 0, kv)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale, n_q=n_q),
+        functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale, n_q=n_q,
+                          dropout_rate=dropout_rate),
         grid=(b, h, n_kv, n_q),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d), q_spec("dkv")),
@@ -274,6 +493,7 @@ def _flash_core_bwd(sm_scale, block_q, block_k, res, do):
             pl.BlockSpec((1, 1, block_q, d), q_spec("dkv")),
             pl.BlockSpec((1, 1, block_q, LANES), q_spec("dkv")),
             pl.BlockSpec((1, 1, block_q, LANES), q_spec("dkv")),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, 1, block_k, d), kv_spec("dkv")),
@@ -291,10 +511,11 @@ def _flash_core_bwd(sm_scale, block_q, block_k, res, do):
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary"),
         ),
-    )(q, k, v, kv_mask, do, lse_t, di_t)
+    )(q, k, v, kv_mask, do, lse_t, di_t, seed)
 
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, sm_scale=sm_scale, n_kv=n_kv),
+        functools.partial(_bwd_dq_kernel, sm_scale=sm_scale, n_kv=n_kv,
+                          dropout_rate=dropout_rate),
         grid=(b, h, n_q, n_kv),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d), q_spec("dq")),
@@ -304,6 +525,7 @@ def _flash_core_bwd(sm_scale, block_q, block_k, res, do):
             pl.BlockSpec((1, 1, block_q, d), q_spec("dq")),
             pl.BlockSpec((1, 1, block_q, LANES), q_spec("dq")),
             pl.BlockSpec((1, 1, block_q, LANES), q_spec("dq")),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, block_q, d), q_spec("dq")),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
@@ -312,9 +534,9 @@ def _flash_core_bwd(sm_scale, block_q, block_k, res, do):
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary"),
         ),
-    )(q, k, v, kv_mask, do, lse_t, di_t)
+    )(q, k, v, kv_mask, do, lse_t, di_t, seed)
 
-    return dq, dk, dv, None
+    return dq, dk, dv, None, None
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
@@ -323,11 +545,48 @@ _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 def flash_attention(q_bshd, k_bshd, v_bshd, attn_mask,
                     sm_scale: float | None = None,
                     block_q: int | None = None,
-                    block_k: int | None = None) -> jnp.ndarray:
-    """Public entry: (b, s, h, d) q/k/v + (b, s) padding mask -> (b, s, h, d)."""
+                    block_k: int | None = None,
+                    dropout_rate: float = 0.0,
+                    dropout_rng=None) -> jnp.ndarray:
+    """Public entry: (b, s, h, d) q/k/v + (b, s) padding mask -> (b, s, h, d).
+
+    ``dropout_rate > 0`` enables in-kernel attention-prob dropout (the
+    reference's ``bert_dropout`` inside HF attention); ``dropout_rng`` (a
+    JAX PRNG key) is then required and is reduced to a 32-bit seed that,
+    hashed with each tile id, drives the on-chip PRNG."""
     b, s, h, d = q_bshd.shape
+    dropout_rate = float(dropout_rate)
+    if dropout_rate > 0.0:
+        if dropout_rng is None:
+            raise ValueError("flash_attention: dropout_rate > 0 requires "
+                             "dropout_rng")
+        seed = jax.random.bits(dropout_rng, (1,), "uint32").astype(
+            jnp.int32)
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
     if sm_scale is None:
         sm_scale = 1.0 / (d ** 0.5)
+
+    # short sequences (all of DSTC2): single-block fused kernel in the
+    # encoder's native (b, s, h*d) layout — no transposes, one bwd kernel
+    if s <= SB_MAX_SEQ and block_q is None and block_k is None:
+        s_sb = _round_up(s, LANES)
+
+        def pad_sb(x):
+            if s_sb == s:
+                return x
+            return jnp.pad(x, ((0, 0), (0, s_sb - s), (0, 0), (0, 0)))
+
+        q2 = pad_sb(q_bshd).reshape(b, s_sb, h * d)
+        k2 = pad_sb(k_bshd).reshape(b, s_sb, h * d)
+        v2 = pad_sb(v_bshd).reshape(b, s_sb, h * d)
+        mask2 = attn_mask.astype(jnp.float32)
+        if s_sb != s:
+            mask2 = jnp.pad(mask2, ((0, 0), (0, s_sb - s)))
+        out = _sb_core(q2, k2, v2, mask2[:, None, :], seed,
+                       float(sm_scale), h, dropout_rate)
+        return out[:, :s].reshape(b, s, h, d).astype(q_bshd.dtype)
+
     if block_q is None:
         # bigger blocks amortize grid overhead (measured ~30% faster at
         # seq 256 with 256-blocks); VMEM stays comfortable to 256
@@ -352,6 +611,7 @@ def flash_attention(q_bshd, k_bshd, v_bshd, attn_mask,
     # rule for the (1, 1, block_k) mask tiles
     mask = mask[:, None, :]
 
-    out = _flash_core(q, k, v, mask, float(sm_scale), block_q, block_k)
+    out = _flash_core(q, k, v, mask, seed, float(sm_scale), block_q,
+                      block_k, dropout_rate)
     out = jnp.transpose(out, (0, 2, 1, 3))[:, :s]
     return out.astype(q_bshd.dtype)

@@ -18,10 +18,11 @@ SURVEY.md §7 step 7:
 Metric reporting: train-time F1/acc come from on-device counters (decoded
 inside the jitted step); eval F1/acc are host-computed from strings, which
 is exact reference semantics including OOV gold labels and the ontology
-filter.  Reported mean loss divides by the fixed micro-batch size (the
-reference divides each micro's loss by its actual row count, which differs
-only on the final partial batch — reporting-only delta, training math is
-identical).
+filter.  Reported TRAIN mean loss divides by the fixed micro-batch size
+(the reference divides each micro's loss by its actual row count, which
+differs only on the final partial batch — reporting-only delta, training
+math is identical); EVAL mean loss divides by the real utterance count
+(sentinel rows are masked out of the loss sum).
 """
 
 from __future__ import annotations
@@ -158,7 +159,12 @@ class EpochMetrics:
 
 class Trainer:
     """Owns the compiled steps, device data, optimizer state, and the
-    epoch driver."""
+    epoch driver.
+
+    Takes OWNERSHIP of ``params``: the jitted train step donates its
+    state, so the caller's arrays may be deleted after the first step
+    (device_put is a no-op alias when they are already placed on the
+    target device).  Pass a copy if you need them afterwards."""
 
     def __init__(self, opt: RunOptions, memory: Memory,
                  model_cfg: ModelConfig, params: dict,
@@ -337,7 +343,6 @@ class Trainer:
 
         pred_mh = np.zeros((n, self.memory.n_bottom), dtype=bool)
         loss_sum = 0.0
-        rows_total = 0
         for bucket in self.buckets[split]:
             nb = len(bucket)
             b_eval = eval_b
@@ -356,12 +361,15 @@ class Trainer:
             bp = np.concatenate(
                 [np.asarray(p) for p in bucket_preds])[:nb]
             pred_mh[bucket.rows] = bp
-            rows_total += n_batches * b_eval
 
         (p, r, f), acc, pred_strings, golds = host_eval_metrics(
             pred_mh, packed.raw_labels, self.memory.idx2label,
             ontology=opt.ontology)
-        mean_loss = loss_sum / max(rows_total, 1)
+        # padded sentinel rows are zeroed out of the loss by example_mask,
+        # so the real row count is the right denominator (the round-1
+        # version divided by padded totals — reporting-only drift on
+        # non-multiple batch sizes)
+        mean_loss = loss_sum / max(n, 1)
 
         raw_inputs = [" ".join(s) for s in packed.raw_asr]
         matches = [set(pc) == set(g) for pc, g in
@@ -616,12 +624,15 @@ def build_model(opt: RunOptions, memory: Memory, tokenizer):
 
     from ..data.tokenizer import HF_NAMES, resolve_checkpoint
 
+    from ..ops.attention import resolve_flash
+
     enc_cfg = None
     enc_params = None
     common = dict(
         hidden_dropout=opt.bert_dropout, attn_dropout=opt.bert_dropout,
         compute_dtype=opt.compute_dtype,
-        use_flash_attention=opt.use_flash_attention, remat=opt.remat)
+        use_flash_attention=resolve_flash(opt.use_flash_attention),
+        remat=opt.remat)
 
     name = opt.tod_pre_trained_model or HF_NAMES.get(
         opt.pre_trained_model or "")

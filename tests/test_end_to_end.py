@@ -166,8 +166,11 @@ def test_sigterm_checkpoints_and_stops(small_setup, tmp_path):
             t.cancel()
 
     train_with_sigterm()
+    # same filter the CLI's --resume auto applies: the .meta.json sidecar
+    # (epoch cursor / best dict / rng) is not itself a checkpoint
     ckpts = [p for p in os.listdir(opt.exp_dir)
-             if p.startswith("ckpt_epoch")]
+             if p.startswith("ckpt_epoch")
+             and not p.endswith(".meta.json")]
     assert ckpts, "no preemption checkpoint written"
     # resumable
     trainer.load_checkpoint(os.path.join(opt.exp_dir, sorted(ckpts)[-1]))

@@ -64,3 +64,37 @@ def test_bf16_inputs():
     diff = np.abs(np.asarray(out, np.float32)[m]
                   - np.asarray(ref, np.float32)[m])
     assert diff.max() < 0.05  # bf16 tolerance
+
+
+@pytest.mark.parametrize("s", [256, 640])
+def test_tiled_path_forward(s):
+    """Explicit block sizes (or seq > SB_MAX_SEQ) force the general tiled
+    kernels; the single-block specialization must not orphan them."""
+    q, k, v, mask = _random_qkv(s=s, b=2, h=2)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v, mask, block_q=128, block_k=128)
+    ref = multi_head_attention(q, k, v, mask)
+    m = np.asarray(mask).astype(bool)
+    np.testing.assert_allclose(np.asarray(out)[m], np.asarray(ref)[m],
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_tiled_path_gradients():
+    q, k, v, mask = _random_qkv(s=128, b=2, h=2)
+
+    def loss(fn):
+        def f(q, k, v):
+            out = fn(q, k, v, mask)
+            return jnp.sum(out * out * mask[:, :, None, None])
+        return f
+
+    with pltpu.force_tpu_interpret_mode():
+        g_tiled = jax.grad(
+            loss(lambda q, k, v, m: flash_attention(
+                q, k, v, m, block_q=128, block_k=128)),
+            argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss(multi_head_attention), argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(g_tiled, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=5e-4, rtol=1e-3,
+                                   err_msg=f"d{name}")

@@ -63,7 +63,10 @@ def test_load_predictor_roundtrip(setup, tmp_path):
     opt = RunOptions(dataset="dstc2", dataroot="x", batchSize=8,
                      max_epoch=1, experiment=str(tmp_path))
     opt.exp_dir = str(tmp_path)
-    trainer = Trainer(opt, memory, cfg, params, packed)
+    # Trainer takes ownership of params (its jitted step donates them);
+    # the module-scoped fixture's tree must survive for later tests
+    own = jax.tree.map(lambda x: x.copy(), params)
+    trainer = Trainer(opt, memory, cfg, own, packed)
     trainer.run_train_epoch()
     trainer.save_checkpoint(str(tmp_path / "model.ckpt"))
 
@@ -71,3 +74,15 @@ def test_load_predictor_roundtrip(setup, tmp_path):
     utts = [" ".join(s) for s in split.asr_seqs[:4]]
     out = pred.predict(utts)
     assert len(out) == 4
+
+
+def test_predict_async_matches_sync(setup):
+    memory, tok, split, cfg, params = setup
+    pred = Predictor(params, cfg, memory, tok, batch_size=8, max_len=256)
+    utts = [" ".join(s) for s in split.asr_seqs[:12]]
+    handle_a = pred.predict_async(utts)
+    handle_b = pred.predict_async(utts[:5])   # two in flight
+    sync = pred.predict(utts)
+    assert handle_a.result() == sync
+    assert handle_b.result() == sync[:5]
+    assert handle_a.result() == sync          # result() is idempotent

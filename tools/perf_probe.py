@@ -73,6 +73,11 @@ def main():
     ap.add_argument("--seq", type=int, default=256)
     ap.add_argument("--fused_adam", action="store_true")
     ap.add_argument("--flash_dropout", action="store_true")
+    ap.add_argument("--flash_step", action="store_true",
+                    help="train-step probe with flash attention enabled")
+    ap.add_argument("--dual_stream", action="store_true",
+                    help="train-step probe with the transcript stream on "
+                    "(--add_l2_loss config); default single-stream")
     args = ap.parse_args()
     what = set(args.what.split(","))
 
@@ -91,7 +96,8 @@ def main():
     from nbest_asr_tpu.train.optimizer import OptimizerConfig, make_optimizer
 
     b, s = args.batch, args.seq
-    enc = EncoderConfig(vocab_size=30522, compute_dtype="bfloat16")
+    enc = EncoderConfig(vocab_size=30522, compute_dtype="bfloat16",
+                        use_flash_attention=args.flash_step)
     cfg = ModelConfig(encoder=enc, n_top=30, n_bottom=161)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
@@ -124,6 +130,7 @@ def main():
 
     if "attn" in what:
         from nbest_asr_tpu.ops.attention import multi_head_attention
+        from nbest_asr_tpu.ops.flash_attention import flash_attention
 
         h, d = 12, 64
         kq = jax.random.PRNGKey(1)
@@ -134,12 +141,21 @@ def main():
         rng = jax.random.PRNGKey(2)
         drop = 0.1 if args.flash_dropout else 0.0
 
+        def attn_impl(fl):
+            # call the kernel directly: multi_head_attention's router
+            # sends deterministic attention to XLA by design
+            if fl:
+                return lambda q_, k_, v_, m_: flash_attention(
+                    q_, k_, v_, m_, dropout_rate=drop,
+                    dropout_rng=rng if drop else None)
+            return lambda q_, k_, v_, m_: multi_head_attention(
+                q_, k_, v_, m_, dropout_rate=drop, dropout_rng=rng,
+                deterministic=drop == 0.0, use_flash=False)
+
         for tag, flash in (("xla", False), ("flash", True)):
             def fwd_body(qc, consts, fl=flash):
                 kk, vv, mm = consts
-                out = multi_head_attention(
-                    qc, kk, vv, mm, dropout_rate=drop, dropout_rng=rng,
-                    deterministic=drop == 0.0, use_flash=fl)
+                out = attn_impl(fl)(qc, kk, vv, mm)
                 # sum(out), not out[0]: a single-element probe lets XLA
                 # slice the whole computation down to one attention row
                 return qc + (jnp.sum(out.astype(jnp.float32))
@@ -151,10 +167,8 @@ def main():
                   f"{dt*1e3:.3f} ms  ({flops/dt/1e12:.0f} TF/s)")
 
             def loss(qc, kk, vv, mm, fl=flash):
-                return jnp.sum(multi_head_attention(
-                    qc, kk, vv, mm, dropout_rate=drop, dropout_rng=rng,
-                    deterministic=drop == 0.0,
-                    use_flash=fl).astype(jnp.float32))
+                return jnp.sum(
+                    attn_impl(fl)(qc, kk, vv, mm).astype(jnp.float32))
 
             def bwd_body(qc, consts, fl=flash):
                 kk, vv, mm = consts
@@ -191,7 +205,8 @@ def main():
                 (rng.rand(n_rows, 161) < 0.02).astype(np.float32)),
         }
         step_fn = make_train_step(cfg, LossConfig(False), optimizer, hier,
-                                  n_accum=1, mesh=None, dual_stream=True,
+                                  n_accum=1, mesh=None,
+                                  dual_stream=args.dual_stream,
                                   donate=False)
         state = TrainState(params=params,
                            opt_state=jax.jit(optimizer.init)(params),
@@ -204,15 +219,18 @@ def main():
             return new_state
 
         dt = run_scan(body, state, data, n=10)
-        # encoder FLOPs: 12 layers x (qkv 3h^2 + out h^2 + ffn 8h^2) per
-        # token x 2 streams x 3 (fwd + 2x bwd) x 2 (MACs)
+        # encoder GEMM FLOPs: 12 layers x (qkv 3h^2 + out h^2 + ffn 8h^2)
+        # MACs/token x streams x 3 (fwd + 2x bwd) x 2 (FLOPs/MAC), plus
+        # attention einsums 4*s*d MACs/token/layer x same factors
         h_ = 768
-        per_tok = 12 * 12 * h_ * h_
+        n_streams = 2 if args.dual_stream else 1
+        per_tok = 12 * (12 * h_ * h_ + 2 * s * 64 * 12)  # MACs/token
         tokens = b * s
-        flops = 2 * 3 * 2 * per_tok * tokens
+        flops = 2 * 3 * n_streams * per_tok * tokens
+        peak = 197e12  # v5e bf16
         print(f"[step] full train step: {dt*1e3:.2f} ms   "
               f"(matmul {flops/dt/1e12:.0f} TF/s, MFU "
-              f"{flops/dt/394e12*100:.0f}% of v5e bf16 peak)")
+              f"{flops/dt/peak*100:.0f}% of v5e bf16 peak)")
 
 
 if __name__ == "__main__":

@@ -64,8 +64,12 @@ def main() -> int:
     with jax.default_matmul_precision("highest"):
         ref = multi_head_attention(q, k, v, mask)
     m = np.asarray(mask).astype(bool)
-    check("flash_attention fwd", np.asarray(out)[m], np.asarray(ref)[m],
-          5e-5)
+    check("flash_attention fwd (single-block)", np.asarray(out)[m],
+          np.asarray(ref)[m], 5e-5)
+    out_t = jax.jit(functools.partial(flash_attention, block_q=128,
+                                      block_k=128))(q, k, v, mask)
+    check("flash_attention fwd (tiled)", np.asarray(out_t)[m],
+          np.asarray(ref)[m], 5e-5)
 
     def loss_f(fn):
         return lambda q, k, v: jnp.sum(
@@ -78,6 +82,60 @@ def main() -> int:
             q, k, v)
     for a, b_, nm in zip(gf, gr, "qkv"):
         check(f"flash_attention d{nm}", a, b_, 2e-3)
+
+    # ---- flash attention in-kernel dropout ----------------------------- #
+    # With v = eye(s) and d == s the flash output IS the dropped
+    # normalized prob matrix D = (M/keep) ⊙ softmax(qk^T*scale): extract
+    # the exact on-chip keep-mask M, then build an XLA oracle with the
+    # same constant mask — forward and all three gradients must match.
+    sd = 128
+    qd = jnp.asarray(rng.randn(2, sd, 2, sd), jnp.float32)
+    kd = jnp.asarray(rng.randn(2, sd, 2, sd), jnp.float32)
+    eye = jnp.broadcast_to(jnp.eye(sd, dtype=jnp.float32)[None, :, None, :],
+                           (2, sd, 2, sd))
+    mask_d = jnp.ones((2, sd), jnp.float32)
+    rate = 0.3
+    drng = jax.random.PRNGKey(7)
+
+    flash_drop = jax.jit(functools.partial(
+        flash_attention, dropout_rate=rate, dropout_rng=drng))
+    d_mat = flash_drop(qd, kd, eye, mask_d)       # (b, q, h, k) = D
+    d1 = flash_drop(qd, kd, eye, mask_d)
+    check("flash_dropout determinism", d1, d_mat, 0.0)
+
+    keep_m = jnp.asarray(np.asarray(d_mat) > 0, jnp.float32)
+    frac_dropped = 1.0 - float(np.asarray(keep_m).mean())
+    ok_frac = abs(frac_dropped - rate) < 0.01
+    print(f"{'PASS' if ok_frac else 'FAIL'}  flash_dropout drop fraction: "
+          f"{frac_dropped:.4f} (want {rate} ± 0.01)")
+    if not ok_frac:
+        failures.append("flash_dropout drop fraction")
+
+    def oracle(q_, k_, v_):
+        # same math with the extracted constant mask, XLA autodiff
+        s_ = jnp.einsum("bqhd,bkhd->bqhk", q_, k_,
+                        preferred_element_type=jnp.float32) / (sd ** 0.5)
+        p_ = jax.nn.softmax(s_, axis=-1)
+        dmat = keep_m * p_ / (1.0 - rate)
+        return jnp.einsum("bqhk,bkhd->bqhd", dmat, v_,
+                          preferred_element_type=jnp.float32)
+
+    vd = jnp.asarray(rng.randn(2, sd, 2, sd), jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        want = oracle(qd, kd, vd)
+    got = flash_drop(qd, kd, vd, mask_d)
+    check("flash_dropout fwd vs masked oracle", got, want, 5e-5)
+
+    def loss_d(fn):
+        return lambda q_, k_, v_: jnp.sum(fn(q_, k_, v_) ** 2)
+
+    gd = jax.jit(jax.grad(
+        loss_d(lambda q_, k_, v_: flash_drop(q_, k_, v_, mask_d)),
+        argnums=(0, 1, 2)))(qd, kd, vd)
+    with jax.default_matmul_precision("highest"):
+        go = jax.grad(loss_d(oracle), argnums=(0, 1, 2))(qd, kd, vd)
+    for a, b_, nm in zip(gd, go, "qkv"):
+        check(f"flash_dropout d{nm}", a, b_, 2e-3)
 
     # ---- fused residual LN -------------------------------------------- #
     x = jnp.asarray(rng.randn(2048, 768), jnp.float32)
