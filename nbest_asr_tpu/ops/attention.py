@@ -28,6 +28,12 @@ def resolve_flash(flag) -> bool:
     return jax.default_backend() != "cpu"
 
 
+# Below this sequence length the XLA attention wins even while training
+# with dropout (see the routing table in multi_head_attention); the
+# threshold compares the *bucketed* (static) seq length.
+FLASH_MIN_SEQ = 160
+
+
 def multi_head_attention(
     q: jnp.ndarray,                # (b, s, n_heads, d_head)
     k: jnp.ndarray,
@@ -41,17 +47,30 @@ def multi_head_attention(
 ) -> jnp.ndarray:
     """Returns (b, s, n_heads, d_head).
 
-    Routing (measured on v5e at DSTC2 scale, `tools/perf_probe.py`):
-    the TRAINING path goes to the Pallas kernel — with attn dropout > 0
-    its in-kernel regenerable masks make it ~2x faster than XLA fwd+bwd
-    (XLA materializes the (b, h, s, s) probs + mask in HBM for the
-    backward, and the host-PRNG mask generation breaks its fused-attention
-    pattern); with dropout 0 it is ~14% slower but keeps the no-residual
-    memory profile (batch 64 x 256 trains where XLA OOMs).  DETERMINISTIC
-    (eval/serving) attention stays on XLA, whose own fusion runs at ~peak
-    for the dropout-free forward and has no backward to pay for.
+    Routing (measured on v5e at DSTC2 bucket shapes with attn dropout
+    0.1, fwd+bwd per layer, `tools/perf_probe.py --what attn
+    --flash_dropout`):
+
+    =====  ========  =========  ======
+    seq    XLA (ms)  flash (ms) winner
+    =====  ========  =========  ======
+    64     0.375     0.859      XLA
+    96     0.264     0.650      XLA
+    160    0.741     0.655      flash
+    256    0.713     0.577      flash
+    =====  ========  =========  ======
+
+    The TRAINING path goes to the Pallas kernel for seq >= 160 (where
+    its in-kernel regenerable dropout masks beat XLA, which materializes
+    the (b, h, s, s) probs + mask in HBM for the backward); short buckets
+    stay on XLA, whose tiny-shape fusion the single-block kernel's
+    per-batch-row grid cannot amortize.  DETERMINISTIC (eval/serving)
+    attention stays on XLA everywhere: its fused dropout-free forward
+    runs at ~peak and has no backward to pay for.  Flash also remains the
+    memory path: batch 64 x 256 trains under flash where XLA OOMs the
+    16G chip.
     """
-    if use_flash and not deterministic:
+    if use_flash and not deterministic and q.shape[1] >= FLASH_MIN_SEQ:
         from .flash_attention import flash_attention
 
         if dropout_rate > 0.0:

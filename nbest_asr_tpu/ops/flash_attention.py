@@ -326,7 +326,7 @@ def _sb_dot(a, b, dims):
 
 
 def _sb_probs(q_ref, k_ref, mask_ref, i, d, sm_scale):
-    """(s, s) normalized attention probs for head i, f32."""
+    """(s_q, s_kv) normalized attention probs for head i, f32."""
     q = q_ref[0][:, i * d:(i + 1) * d]
     k = k_ref[0][:, i * d:(i + 1) * d]
     s_ = _sb_dot(q, k, ((1,), (1,))) * sm_scale
@@ -383,26 +383,34 @@ def _sb_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, seed_ref,
             ds, q, ((0,), (0,))).astype(dk_ref.dtype)
 
 
-def _sb_specs(b, s, hd):
-    row = pl.BlockSpec((1, s, hd), lambda b_: (b_, 0, 0))
-    mask = pl.BlockSpec((1, 1, s), lambda b_: (b_, 0, 0))
+def _sb_specs(b, s_q, s_kv, hd):
+    """Asymmetric q/kv row padding: only the *lane* (kv) axis of the
+    score matrix needs 128-alignment; q rows are sublanes and need only
+    16 (the bf16 sublane tile).  At DSTC2 bucket lengths this is the
+    difference between a (s, 128k) and a (128k, 128k) score matrix —
+    e.g. 25% less work at seq 96, 37.5% at 160."""
+    qrow = pl.BlockSpec((1, s_q, hd), lambda b_: (b_, 0, 0))
+    kvrow = pl.BlockSpec((1, s_kv, hd), lambda b_: (b_, 0, 0))
+    mask = pl.BlockSpec((1, 1, s_kv), lambda b_: (b_, 0, 0))
     seed = pl.BlockSpec(memory_space=pltpu.SMEM)
-    return row, mask, seed
+    return qrow, kvrow, mask, seed
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def _sb_core(q, k, v, kv_mask, seed, sm_scale, n_heads, dropout_rate):
-    """q/k/v: (b, s, h*d); kv_mask: (b, 1, s); returns o: (b, s, h*d)."""
-    b, s, hd = q.shape
-    row, mask, seed_spec = _sb_specs(b, s, hd)
+    """q: (b, s_q, h*d); k/v: (b, s_kv, h*d); kv_mask: (b, 1, s_kv);
+    returns o: (b, s_q, h*d)."""
+    b, s_q, hd = q.shape
+    s_kv = k.shape[1]
+    qrow, kvrow, mask, seed_spec = _sb_specs(b, s_q, s_kv, hd)
     return pl.pallas_call(
         functools.partial(_sb_fwd_kernel, sm_scale=sm_scale,
                           n_heads=n_heads, d=hd // n_heads,
                           dropout_rate=dropout_rate),
         grid=(b,),
-        in_specs=[row, row, row, mask, seed_spec],
-        out_specs=row,
-        out_shape=jax.ShapeDtypeStruct((b, s, hd), q.dtype),
+        in_specs=[qrow, kvrow, kvrow, mask, seed_spec],
+        out_specs=qrow,
+        out_shape=jax.ShapeDtypeStruct((b, s_q, hd), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
     )(q, k, v, kv_mask, seed)
@@ -415,17 +423,19 @@ def _sb_core_fwd(q, k, v, kv_mask, seed, sm_scale, n_heads, dropout_rate):
 
 def _sb_core_bwd(sm_scale, n_heads, dropout_rate, res, do):
     q, k, v, kv_mask, seed = res
-    b, s, hd = q.shape
-    row, mask, seed_spec = _sb_specs(b, s, hd)
+    b, s_q, hd = q.shape
+    s_kv = k.shape[1]
+    qrow, kvrow, mask, seed_spec = _sb_specs(b, s_q, s_kv, hd)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_sb_bwd_kernel, sm_scale=sm_scale,
                           n_heads=n_heads, d=hd // n_heads,
                           dropout_rate=dropout_rate),
         grid=(b,),
-        in_specs=[row, row, row, mask, row, seed_spec],
-        out_specs=(row, row, row),
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((b, s, hd), q.dtype) for _ in range(3)),
+        in_specs=[qrow, kvrow, kvrow, mask, qrow, seed_spec],
+        out_specs=(qrow, kvrow, kvrow),
+        out_shape=(jax.ShapeDtypeStruct((b, s_q, hd), q.dtype),
+                   jax.ShapeDtypeStruct((b, s_kv, hd), q.dtype),
+                   jax.ShapeDtypeStruct((b, s_kv, hd), q.dtype)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
     )(q, k, v, kv_mask, do, seed)
@@ -568,21 +578,24 @@ def flash_attention(q_bshd, k_bshd, v_bshd, attn_mask,
         sm_scale = 1.0 / (d ** 0.5)
 
     # short sequences (all of DSTC2): single-block fused kernel in the
-    # encoder's native (b, s, h*d) layout — no transposes, one bwd kernel
+    # encoder's native (b, s, h*d) layout — no transposes, one bwd kernel.
+    # q rows pad only to the 16-sublane tile; kv rows to the 128-lane tile
+    # (asymmetric: a (s_q, s_kv) score matrix, see _sb_specs)
     if s <= SB_MAX_SEQ and block_q is None and block_k is None:
-        s_sb = _round_up(s, LANES)
+        s_q = _round_up(s, 16)
+        s_kv = _round_up(s, LANES)
 
-        def pad_sb(x):
-            if s_sb == s:
+        def pad_sb(x, to):
+            if to == s:
                 return x
-            return jnp.pad(x, ((0, 0), (0, s_sb - s), (0, 0), (0, 0)))
+            return jnp.pad(x, ((0, 0), (0, to - s), (0, 0), (0, 0)))
 
-        q2 = pad_sb(q_bshd).reshape(b, s_sb, h * d)
-        k2 = pad_sb(k_bshd).reshape(b, s_sb, h * d)
-        v2 = pad_sb(v_bshd).reshape(b, s_sb, h * d)
+        q2 = pad_sb(q_bshd, s_q).reshape(b, s_q, h * d)
+        k2 = pad_sb(k_bshd, s_kv).reshape(b, s_kv, h * d)
+        v2 = pad_sb(v_bshd, s_kv).reshape(b, s_kv, h * d)
         mask2 = attn_mask.astype(jnp.float32)
-        if s_sb != s:
-            mask2 = jnp.pad(mask2, ((0, 0), (0, s_sb - s)))
+        if s_kv != s:
+            mask2 = jnp.pad(mask2, ((0, 0), (0, s_kv - s)))
         out = _sb_core(q2, k2, v2, mask2[:, None, :], seed,
                        float(sm_scale), h, dropout_rate)
         return out[:, :s].reshape(b, s, h, d).astype(q_bshd.dtype)

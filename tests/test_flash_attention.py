@@ -98,3 +98,23 @@ def test_tiled_path_gradients():
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
                                    atol=5e-4, rtol=1e-3,
                                    err_msg=f"d{name}")
+
+
+def test_asymmetric_padding_gradients():
+    """seq 100 -> q rows pad to 112, kv to 128 (the short-bucket shape
+    class); gradients must match XLA through both paddings."""
+    q, k, v, mask = _random_qkv(s=100, b=2, h=2)
+
+    def loss(fn):
+        def f(q, k, v):
+            out = fn(q, k, v, mask)
+            return jnp.sum(out * out * mask[:, :, None, None])
+        return f
+
+    with pltpu.force_tpu_interpret_mode():
+        g_flash = jax.grad(loss(flash_attention), argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss(multi_head_attention), argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=5e-4, rtol=1e-3,
+                                   err_msg=f"d{name}")
