@@ -50,6 +50,11 @@ class EncoderConfig:
     initializer_range: float = 0.02
     compute_dtype: str = "float32"  # "bfloat16" on TPU hot path
     use_flash_attention: bool = False
+    # EXPERIMENTAL correctness-tier kernels (validated on-chip by
+    # tools/tpu_kernel_check.py, but measured SLOWER than the XLA path
+    # in training: fused LN+GELU encoder fwd+bwd 84.1 ms vs 65.3 ms XLA
+    # at 128x64/12L on v5e, and grad-of-scan lowering takes ~230 s per
+    # shape — see NOTES_r2.md).  Not exposed on the CLI.
     use_fused_ln: bool = False      # Pallas residual+LayerNorm kernel
     use_fused_gelu: bool = False    # Pallas bias+GELU kernel
     use_fused_embedding: bool = False  # Pallas embed+LN lookup kernel

@@ -30,8 +30,11 @@ def resolve_flash(flag) -> bool:
 
 # Below this sequence length the XLA attention wins even while training
 # with dropout (see the routing table in multi_head_attention); the
-# threshold compares the *bucketed* (static) seq length.
-FLASH_MIN_SEQ = 160
+# threshold compares the *bucketed* (static) seq length.  Overridable
+# for tuning/measurement via NBEST_FLASH_MIN_SEQ.
+import os as _os
+
+FLASH_MIN_SEQ = int(_os.environ.get("NBEST_FLASH_MIN_SEQ", "160"))
 
 
 def multi_head_attention(

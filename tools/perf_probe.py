@@ -232,6 +232,121 @@ def main():
               f"(matmul {flops/dt/1e12:.0f} TF/s, MFU "
               f"{flops/dt/peak*100:.0f}% of v5e bf16 peak)")
 
+    if "ablate" in what:
+        # step-time decomposition by differential ablation: the remote
+        # profiler is unavailable on this tunneled backend
+        # (jax.profiler.start_trace hangs), so each pipeline prefix is
+        # timed with the same serialized-scan methodology and the stage
+        # costs are the deltas.
+        from nbest_asr_tpu.models.heads import hierarchy_device_arrays
+        from nbest_asr_tpu.data.vocab import Memory
+        from nbest_asr_tpu.models.encoder import encoder_forward
+        from nbest_asr_tpu.parallel.train_step import _forward_and_loss
+        from nbest_asr_tpu.train.losses import LossConfig
+
+        mem_path = "/root/reference/dstc2_data/processed_data/raw/memory.pt"
+        memory = Memory.from_torch_pt(mem_path)
+        hier = hierarchy_device_arrays(memory.arrays())
+        rng = np.random.RandomState(0)
+        micro = {
+            "input_ids": jnp.asarray(
+                rng.randint(1, 30000, (b, s)), jnp.int32),
+            "attn_mask": jnp.ones((b, s), jnp.float32),
+            "segment_ids": jnp.zeros((b, s), jnp.int32),
+            "trans_input_ids": jnp.asarray(
+                rng.randint(1, 30000, (b, s)), jnp.int32),
+            "trans_attn_mask": jnp.ones((b, s), jnp.float32),
+            "trans_segment_ids": jnp.zeros((b, s), jnp.int32),
+            "labels": jnp.asarray(
+                (rng.rand(b, 161) < 0.02).astype(np.float32)),
+        }
+        lcfg = LossConfig(False)
+        key = jax.random.PRNGKey(0)
+
+        def loss_of(p, consts):
+            mic = consts[0]
+            loss, _ = _forward_and_loss(
+                p, cfg, lcfg, hier, mic, deterministic=False,
+                rng=key, dual_stream=args.dual_stream)
+            return loss
+
+        def enc_sum(p, consts, det=False):
+            mic = consts[0]
+            h_out = encoder_forward(
+                p["encoder"], mic["input_ids"], mic["attn_mask"],
+                mic["segment_ids"], cfg.encoder, deterministic=det,
+                rng=key)
+            return jnp.sum(h_out.astype(jnp.float32))
+
+        def enc_sum_det(p, consts):
+            return enc_sum(p, consts, det=True)
+
+        def gemm_skeleton(p, consts):
+            """The encoder's 4 GEMMs/layer scanned over 12 layers with
+            NOTHING else (no LN, attention, dropout, bias): what XLA gets
+            on the raw matmul skeleton at this token count."""
+            mic = consts[0]
+            emb = p["encoder"]["embeddings"]
+            x = emb["word"][mic["input_ids"]].astype(jnp.bfloat16)
+            x = x.reshape(-1, 768)
+
+            def layer(xc, lw):
+                a = jnp.dot(xc, lw["qkv_kernel"].astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+                bq = a[:, :768].astype(jnp.bfloat16)
+                c = jnp.dot(bq, lw["attn_out_kernel"].astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+                d = jnp.dot(c.astype(jnp.bfloat16),
+                            lw["ffn_in_kernel"].astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+                e = jnp.dot(d.astype(jnp.bfloat16),
+                            lw["ffn_out_kernel"].astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+                return e.astype(jnp.bfloat16), None
+
+            x, _ = jax.lax.scan(layer, x, p["encoder"]["layers"])
+            return jnp.sum(x.astype(jnp.float32))
+
+        def emb_sum(p, consts):
+            mic = consts[0]
+            emb = p["encoder"]["embeddings"]
+            x = (emb["word"][mic["input_ids"]]
+                 + emb["type"][mic["segment_ids"]])
+            return jnp.sum(x.astype(jnp.float32))
+
+        legs = [
+            ("enc fwd          ", lambda p, c: enc_sum(p, c), False),
+            ("enc fwd+bwd      ", enc_sum, True),
+            ("enc fwd DET      ", lambda p, c: enc_sum_det(p, c), False),
+            ("enc fwd+bwd DET  ", enc_sum_det, True),
+            ("loss fwd         ", lambda p, c: loss_of(p, c), False),
+            ("loss fwd+bwd     ", loss_of, True),
+            ("embed fwd+bwd    ", emb_sum, True),
+            ("gemm-skel fwd    ", lambda p, c: gemm_skeleton(p, c), False),
+            ("gemm-skel fwd+bwd", gemm_skeleton, True),
+        ]
+        for name, fn, grad in legs:
+            if grad:
+                gfn = jax.grad(lambda p, c: fn(p, c))
+
+                def body(carry, consts, g=gfn):
+                    gr = g(carry, consts)
+                    # fold grads back into the carry so the scan can't
+                    # be collapsed (cheap: one fused axpy over params)
+                    return jax.tree.map(
+                        lambda x, d: x + 1e-30 * d.astype(x.dtype),
+                        carry, gr)
+            else:
+                def body(carry, consts, f=fn):
+                    # perturb every leaf by the (scaled) value to keep
+                    # the chain data-dependent; the tree-axpy cost is
+                    # identical across legs so deltas stay meaningful
+                    val = f(carry, consts).astype(jnp.float32) * 1e-30
+                    return jax.tree.map(
+                        lambda x: x + val.astype(x.dtype), carry)
+            dt = run_scan(body, params, (micro,), n=10)
+            print(f"[ablate] {name}: {dt*1e3:7.2f} ms")
+
 
 if __name__ == "__main__":
     main()
