@@ -18,7 +18,16 @@ Parity surface (`n_best_asr_bert.py:145-195`):
    calls the loss without hidden states, ref :331).
 
 torch's BCELoss clamps log terms at -100; replicated here for bit-level
-faithfulness of the sum-reduced losses.
+faithfulness of the sum-reduced losses.  The clamp must also be
+*gradient*-safe: ``jnp.maximum(jnp.log(p), -100)`` is forward-correct but
+its VJP computes ``0 * (1/p)`` at ``p == 0`` — NaN — and a fully
+converged run (train acc 100%, probs saturated to exact 0/1) then NaNs
+the whole state on the next step (observed at epoch 29 of the 40-epoch
+quality smoke).  torch never hits this because BCELoss's *backward*
+clamps its denominator (``(p-t)/max(p(1-p), eps)``) and the saturated
+sigmoid derivative zeroes the product; `_safe_log`/`_safe_log1m` below
+reproduce that effective behavior (identical forward values, gradient
+exactly 0 at saturation) with the double-where pattern.
 """
 
 from __future__ import annotations
@@ -29,6 +38,24 @@ from typing import Dict, Optional, Tuple
 import jax.numpy as jnp
 
 from ..ops.layers import acc_dtype
+
+# exp(-100): below this, the -100 clamp is active and the gradient must
+# be cut BEFORE the log to avoid 0 * inf in the VJP
+_LOG_CLAMP_TINY = 3.7200760e-44
+
+
+def _safe_log(p):
+    """max(log(p), -100) with a NaN-free VJP (grad 0 where clamped)."""
+    ok = p > _LOG_CLAMP_TINY
+    ps = jnp.where(ok, p, 1.0)
+    return jnp.where(ok, jnp.maximum(jnp.log(ps), -100.0), -100.0)
+
+
+def _safe_log1m(p):
+    """max(log1p(-p), -100) with a NaN-free VJP."""
+    ok = (1.0 - p) > _LOG_CLAMP_TINY
+    ps = jnp.where(ok, p, 0.0)
+    return jnp.where(ok, jnp.maximum(jnp.log1p(-ps), -100.0), -100.0)
 
 
 @dataclass(frozen=True)
@@ -67,8 +94,7 @@ def total_loss(
     p = final_scores.astype(acc)
     t = labels.astype(acc)
     row_bce = -jnp.sum(
-        t * jnp.maximum(jnp.log(p), -100.0)
-        + (1 - t) * jnp.maximum(jnp.log1p(-p), -100.0),
+        t * _safe_log(p) + (1 - t) * _safe_log1m(p),
         axis=1,
     )
     bottom = masked_sum(row_bce)
@@ -78,8 +104,8 @@ def total_loss(
     top_targets = t @ hier["bottom2top_mat"]                   # (b, n_top)
     tp = top_scores.astype(acc)
     row_top = -jnp.sum(
-        top_targets * jnp.maximum(jnp.log(tp), -100.0)
-        + (1 - top_targets) * jnp.maximum(jnp.log1p(-tp), -100.0),
+        top_targets * _safe_log(tp)
+        + (1 - top_targets) * _safe_log1m(tp),
         axis=1,
     )
     top = masked_sum(row_top)

@@ -315,3 +315,37 @@ def test_warmup_linear_schedule_shape():
     assert np.isclose(float(f(jnp.asarray(0.1))), 1.0)
     assert np.isclose(float(f(jnp.asarray(0.55))), 0.5)
     assert float(f(jnp.asarray(1.0))) == 0.0
+
+
+def test_loss_gradients_finite_at_saturation(setup):
+    """A fully converged model emits probabilities that are EXACTLY 0/1;
+    the -100 log clamp must be gradient-safe there (the naive
+    max(log(p), -100) VJP yields 0 * inf = NaN, which killed a 40-epoch
+    quality-smoke run at the epoch its train accuracy hit 100%)."""
+    mem, arr, hier, _, labels, _, _ = setup
+    b = labels.shape[0]
+
+    # exact saturation: predicted probs equal the 0/1 label matrix
+    top_targets_idx = np.asarray(arr.bottom2top)
+    top_sat = np.zeros((b, mem.n_top), np.float32)
+    for i in range(b):
+        for j in np.nonzero(labels[i])[0]:
+            top_sat[i, top_targets_idx[j]] = 1.0
+    probs_sat = labels.astype(np.float32).copy()
+    # give empty groups a saturated NONE column so softmax probs stay valid
+    final_sat = labels.astype(np.float32)
+
+    def loss_fn(final, top, probs):
+        total, _ = total_loss(top, probs, final, jnp.asarray(labels),
+                              hier, LossConfig())
+        return total
+
+    total = loss_fn(jnp.asarray(final_sat), jnp.asarray(top_sat),
+                    jnp.asarray(probs_sat))
+    assert np.isfinite(float(total))
+
+    grads = jax.grad(loss_fn, argnums=(0, 1, 2))(
+        jnp.asarray(final_sat), jnp.asarray(top_sat),
+        jnp.asarray(probs_sat))
+    for g, name in zip(grads, ("final", "top", "probs")):
+        assert np.all(np.isfinite(np.asarray(g))), f"NaN/inf grad in {name}"

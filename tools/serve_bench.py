@@ -77,6 +77,21 @@ def main() -> int:
         out = pred.predict(utts)
         lat.append(time.perf_counter() - t0)
     lat_ms = np.asarray(lat) * 1000
+
+    # pipelined mode: keep `depth` calls in flight with predict_async —
+    # the per-call tunnel RTT overlaps device compute, so aggregate
+    # throughput approaches the pure-compute rate
+    depth = 2
+    handles = []
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        handles.append(pred.predict_async(utts))
+        if len(handles) > depth:
+            handles.pop(0).result()
+    for h in handles:
+        h.result()
+    async_dt = time.perf_counter() - t0
+
     print(json.dumps({
         "metric": "dstc2_serving",
         "batch": args.batch,
@@ -84,6 +99,10 @@ def main() -> int:
         "latency_p95_ms": round(float(np.percentile(lat_ms, 95)), 2),
         "utterances_per_sec": round(
             args.batch / (lat_ms.mean() / 1000), 1),
+        "async_depth2_utterances_per_sec": round(
+            args.batch * args.iters / async_dt, 1),
+        "async_depth2_ms_per_batch": round(
+            async_dt / args.iters * 1000, 2),
     }))
     return 0
 
