@@ -191,12 +191,21 @@ def encoder_forward(params: dict, input_ids: jnp.ndarray,
             return layer_norm(residual + delta, scale, bias,
                               cfg.layer_norm_eps)
 
+    def qdense(x_, kernel, bias):
+        """dense() that also accepts int8-quantized kernel leaves
+        ({"q", "scale"} dicts installed by ops.quant for serving)."""
+        if isinstance(kernel, dict):
+            from ..ops.quant import dense_int8
+
+            return dense_int8(x_, kernel["q"], kernel["scale"], bias)
+        return dense(x_, kernel.astype(cdt), bias)
+
     def layer_step(carry, scanned):
         x, layer_idx = carry
         p = scanned
         lrng = jax.random.fold_in(rng, layer_idx)
 
-        qkv = dense(x, p["qkv_kernel"].astype(cdt), p["qkv_bias"])
+        qkv = qdense(x, p["qkv_kernel"], p["qkv_bias"])
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(b, s, nh, hd)
         k = k.reshape(b, s, nh, hd)
@@ -208,8 +217,7 @@ def encoder_forward(params: dict, input_ids: jnp.ndarray,
             deterministic=deterministic,
             use_flash=cfg.use_flash_attention,
         ).reshape(b, s, h)
-        ctx = dense(ctx, p["attn_out_kernel"].astype(cdt),
-                    p["attn_out_bias"])
+        ctx = qdense(ctx, p["attn_out_kernel"], p["attn_out_bias"])
         if not deterministic:
             ctx = dropout(ctx, cfg.hidden_dropout,
                           jax.random.fold_in(lrng, 2), deterministic)
@@ -222,9 +230,9 @@ def encoder_forward(params: dict, input_ids: jnp.ndarray,
                         preferred_element_type=jnp.float32).astype(cdt)
             y = fused_bias_gelu(y, p["ffn_in_bias"])
         else:
-            y = dense(x, p["ffn_in_kernel"].astype(cdt), p["ffn_in_bias"])
+            y = qdense(x, p["ffn_in_kernel"], p["ffn_in_bias"])
             y = gelu(y)
-        y = dense(y, p["ffn_out_kernel"].astype(cdt), p["ffn_out_bias"])
+        y = qdense(y, p["ffn_out_kernel"], p["ffn_out_bias"])
         if not deterministic:
             y = dropout(y, cfg.hidden_dropout,
                         jax.random.fold_in(lrng, 3), deterministic)

@@ -55,7 +55,18 @@ class Predictor:
                  tokenizer: BaseTokenizer, *, layout: str = "default",
                  use_segments: bool = False, batch_size: int = 16,
                  max_len: int = 256,
-                 bucket_lens: tuple = (64, 96, 160, 256)):
+                 bucket_lens: tuple = (64, 96, 160, 256),
+                 quantize: "str | None" = None):
+        if quantize not in (None, "int8"):
+            raise ValueError(f"quantize: expected None or 'int8', "
+                             f"got {quantize!r}")
+        if quantize == "int8":
+            # weight-only int8 of the encoder GEMMs + dynamic per-token
+            # activation quant inside the forward (ops/quant.py); int8
+            # dots run the MXU at 2x the bf16 rate on v5e
+            from .ops.quant import quantize_encoder_params
+
+            params = quantize_encoder_params(params)
         # CPU-committed params (e.g. host-side init) would silently pull
         # the jitted forward onto the host; move them to the accelerator
         leaves = jax.tree.leaves(params)

@@ -86,3 +86,47 @@ def test_predict_async_matches_sync(setup):
     assert handle_a.result() == sync
     assert handle_b.result() == sync[:5]
     assert handle_a.result() == sync          # result() is idempotent
+
+
+def test_int8_quantized_predictor(setup):
+    """Weight-only int8 serving (ops/quant.py): scores must track the
+    f32 predictor closely and the quantized tree must actually carry
+    int8 GEMM kernels."""
+    memory, tok, split, cfg, params = setup
+    import jax.numpy as jnp
+
+    from nbest_asr_tpu.ops.quant import (dense_int8, quantize_weight,
+                                         quantize_encoder_params)
+
+    # unit: per-channel roundtrip error is bounded by one quant step
+    w = np.random.RandomState(0).randn(64, 32).astype(np.float32)
+    q, scale = quantize_weight(jnp.asarray(w))
+    deq = np.asarray(q, np.float32) * np.asarray(scale)
+    step = np.asarray(scale)
+    assert np.all(np.abs(deq - w) <= step * 0.5 + 1e-7)
+
+    # unit: int8 dense vs f32 dense on random activations
+    x = np.random.RandomState(1).randn(16, 64).astype(np.float32)
+    bias = np.zeros((32,), np.float32)
+    y_ref = x @ w
+    y_q = np.asarray(dense_int8(jnp.asarray(x), q, scale,
+                                jnp.asarray(bias)))
+    denom = np.maximum(np.abs(y_ref).max(), 1.0)
+    assert np.abs(y_q - y_ref).max() / denom < 0.02
+
+    # end to end: quantized predictor tracks the f32 one
+    qp = quantize_encoder_params(params)
+    assert qp["encoder"]["layers"]["qkv_kernel"]["q"].dtype == jnp.int8
+    utts = [" ".join(s) for s in split.asr_seqs[:12]]
+    pred_f32 = Predictor(params, cfg, memory, tok, batch_size=8,
+                         max_len=256)
+    pred_i8 = Predictor(params, cfg, memory, tok, batch_size=8,
+                        max_len=256, quantize="int8")
+    s_f32 = pred_f32.scores(utts)
+    s_i8 = pred_i8.scores(utts)
+    assert np.abs(s_i8 - s_f32).max() < 0.05
+    # decoded labels agree on a strong majority of utterances
+    l_f32 = pred_f32.predict(utts)
+    l_i8 = pred_i8.predict(utts)
+    agree = sum(a == b for a, b in zip(l_f32, l_i8))
+    assert agree >= len(utts) - 1

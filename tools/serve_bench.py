@@ -34,6 +34,8 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--max_len", type=int, default=256)
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--quantize", choices=["int8"], default=None,
+                    help="weight-only int8 encoder (ops/quant.py)")
     args = ap.parse_args()
 
     import jax
@@ -66,7 +68,7 @@ def main() -> int:
     params = jax.device_put(params, jax.devices()[0])
 
     pred = Predictor(params, cfg, memory, tok, batch_size=args.batch,
-                     max_len=args.max_len)
+                     max_len=args.max_len, quantize=args.quantize)
 
     utts = [" ".join(s) for s in split.asr_seqs[: args.batch]]
     pred.predict(utts)  # compile + warmup
@@ -94,6 +96,7 @@ def main() -> int:
 
     print(json.dumps({
         "metric": "dstc2_serving",
+        "quantize": args.quantize,
         "batch": args.batch,
         "latency_p50_ms": round(float(np.percentile(lat_ms, 50)), 2),
         "latency_p95_ms": round(float(np.percentile(lat_ms, 95)), 2),
