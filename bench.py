@@ -115,7 +115,8 @@ def main() -> None:
     enc = EncoderConfig.bert_base(
         vocab_size=30522, compute_dtype="bfloat16",
         hidden_dropout=opt.bert_dropout, attn_dropout=opt.bert_dropout,
-        use_flash_attention=resolve_flash(None))
+        use_flash_attention=resolve_flash(None),
+        use_fused_ffn=resolve_flash(None))
     cfg = ModelConfig(encoder=enc, n_top=memory.n_top,
                       n_bottom=memory.n_bottom)
     # init on the CPU backend: dozens of tiny init compiles would each

@@ -87,6 +87,9 @@ class RunOptions:
     # attention on the TRAINING path when running on a TPU backend (it
     # wins there with in-kernel dropout, tools/perf_probe.py); eval stays
     # on XLA either way (ops/attention.py routing)
+    use_fused_ffn: "bool | None" = None   # None = auto: the Pallas FFN
+    # megakernel (ops/fused_ffn.py) on TPU backends — ~4% faster steps
+    # at every DSTC2 bucket with both FFN weights VMEM-resident
     remat: bool = False
     n_model_parallel: int = 1             # tensor-parallel mesh axis
     len_multiple: int = 8                 # pad lengths to this multiple
@@ -214,6 +217,11 @@ def parse_arguments(argv=None) -> RunOptions:
     p.add_argument("--no_flash_attention", dest="use_flash_attention",
                    action="store_false", help="force the XLA attention "
                    "path everywhere")
+    p.add_argument("--use_fused_ffn", action="store_true", default=None,
+                   help="force the Pallas FFN megakernel (default: auto "
+                   "— on for TPU)")
+    p.add_argument("--no_fused_ffn", dest="use_fused_ffn",
+                   action="store_false", help="force the XLA FFN path")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--n_model_parallel", type=int, default=1)
     p.add_argument("--len_multiple", type=int, default=d.len_multiple)

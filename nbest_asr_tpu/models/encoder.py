@@ -58,6 +58,10 @@ class EncoderConfig:
     use_fused_ln: bool = False      # Pallas residual+LayerNorm kernel
     use_fused_gelu: bool = False    # Pallas bias+GELU kernel
     use_fused_embedding: bool = False  # Pallas embed+LN lookup kernel
+    use_fused_ffn: bool = False     # Pallas FFN megakernel: both GEMMs
+    # + bias/GELU/dropout/residual/LN in one kernel each way
+    # (ops/fused_ffn.py) — the whole-block fusion the piecewise kernels
+    # above could not deliver
     remat: bool = False             # jax.checkpoint the layer scan body
     scan_unroll: int = 1            # lax.scan unroll factor for the
     # layer loop.  Measured on v5e at BERT-base: unroll=4 is ~35% SLOWER
@@ -222,6 +226,23 @@ def encoder_forward(params: dict, input_ids: jnp.ndarray,
             ctx = dropout(ctx, cfg.hidden_dropout,
                           jax.random.fold_in(lrng, 2), deterministic)
         x = res_ln(ctx, x, p["attn_ln_scale"], p["attn_ln_bias"])
+
+        # lane guard: the megakernel needs 128-multiple dims (always true
+        # for the BERT family; tiny test configs fall back to XLA)
+        ffn_kernel_ok = (cfg.use_fused_ffn
+                         and cfg.hidden_size % 128 == 0
+                         and cfg.intermediate_size % 128 == 0)
+        if ffn_kernel_ok and not isinstance(p["ffn_in_kernel"], dict):
+            from ..ops.fused_ffn import fused_ffn_block
+
+            x = fused_ffn_block(
+                x, p["ffn_in_kernel"].astype(cdt), p["ffn_in_bias"],
+                p["ffn_out_kernel"].astype(cdt), p["ffn_out_bias"],
+                p["ffn_ln_scale"], p["ffn_ln_bias"],
+                dropout_rate=0.0 if deterministic else cfg.hidden_dropout,
+                dropout_rng=jax.random.fold_in(lrng, 3),
+                eps=cfg.layer_norm_eps)
+            return (x, layer_idx + 1), None
 
         if cfg.use_fused_gelu:
             from ..ops.fused_gelu import fused_bias_gelu

@@ -1,0 +1,351 @@
+"""Fused FFN-block Pallas megakernel: GEMM → bias → erf-GELU → dropout
+→ GEMM → bias → dropout → residual → LayerNorm, one kernel each way.
+
+Why this exists (NOTES_r2.md MFU analysis, measured at the dominant
+DSTC2 bucket 128×64 on v5e): the encoder's GEMMs run at 76% MFU but the
+*inter-GEMM elementwise chains* cost ~23 ms of a 71 ms step — XLA
+schedules them as separate f32 round-trips.  Piecewise Pallas kernels
+(fused LN alone, bias-GELU alone) made it *worse* because they broke
+XLA's surrounding fusions while leaving the GEMMs outside.  This kernel
+absorbs the whole FFN block **including both GEMMs**, so every
+elementwise op runs on VMEM-resident tiles between the two dots and
+nothing is left for XLA to schedule badly.
+
+Blocking: grid (row-blocks, inter-blocks).  In bf16 — the production
+dtype — BOTH weight matrices (9.4 MB at BERT size) are grid-constant
+VMEM residents fetched from HBM exactly once per kernel launch (a
+single inter block); with f32 weights (18.9 MB, over the 16 MB VMEM)
+the intermediate dimension streams through in ``(h, IT)`` slices, the
+second GEMM accumulating into an f32 scratch.  The first version of
+this kernel streamed slices for bf16 too and was 3–5% *slower* than
+XLA end to end: with rows as the major grid axis the weight slices
+re-fetch for every row block (~600 MB/layer of weight DMA).  Weight
+residency flipped it to ~4% *faster* at every bucket.
+
+Dropout uses the same regenerable per-tile on-chip PRNG masks as
+`flash_attention` (`_keep_mask`): forward and backward reseed
+identically, so no mask ever exists in HBM.
+
+Backward: the forward additionally saves ``y2d`` (the post-dropout
+second-GEMM output, (n, h)) and the LN stats; the backward kernel then
+needs ONE sweep — it derives the LN/residual gradients row-locally,
+streams the same weight slices to produce dx, and emits the
+intermediate tiles (dh, gd, dy2, xhat) that the weight/bias/LN-param
+gradients need.  Those are plain reductions that XLA already runs at
+full rate (and their f32 accumulators wouldn't fit VMEM), so they stay
+in XLA.
+
+The XLA path in `models/encoder.py` remains the correctness oracle;
+wired behind ``EncoderConfig.use_fused_ffn``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_gelu import _erf, _INV_SQRT2, _INV_SQRT2PI
+from .flash_attention import _keep_mask
+
+BLOCK_ROWS = 128
+BLOCK_INTER = 768
+LANES = 128
+
+
+def _block_rows(dtype, bwd: bool) -> int:
+    """VMEM-fitting row blocks (v5e, 16 MB): the backward carries ~3×
+    the row-shaped state (recompute + emitted wgrad tiles) next to the
+    weights, so its blocks are half the forward's (128-row bf16 bwd
+    measured OOM)."""
+    return 64 if bwd else BLOCK_ROWS
+
+
+def _block_inter(dtype, inter: int) -> int:
+    """bf16: no inter blocking — both weights (9.4 MB at BERT size) stay
+    grid-constant in VMEM, fetched from HBM exactly once per kernel
+    (inter-blocking would re-stream them for every row block: measured
+    3-5% *slower* steps from ~600 MB/layer of weight DMA).  f32 weights
+    (18.9 MB) cannot fit, so they stream in (h, IT) slices."""
+    if jnp.dtype(dtype) == jnp.float32 and inter % BLOCK_INTER == 0:
+        return BLOCK_INTER
+    return inter
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _dot(a, b, dims=((1,), (0,))):
+    """MXU dot, f32 accumulation, per-dtype precision (see
+    flash_attention._sb_dot for why bf16 must not use HIGHEST)."""
+    prec = (jax.lax.Precision.HIGHEST if a.dtype == jnp.float32
+            else None)
+    return jax.lax.dot_general(a, b, (dims, ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=prec)
+
+
+def _gelu_f32(h32):
+    return h32 * 0.5 * (1.0 + _erf(h32 * _INV_SQRT2))
+
+
+def _gelu_grad_f32(h32):
+    cdf = 0.5 * (1.0 + _erf(h32 * _INV_SQRT2))
+    pdf = jnp.exp(-0.5 * h32 * h32) * _INV_SQRT2PI
+    return cdf + h32 * pdf
+
+
+def _drop(x32, seed_ref, rate, tile_id, inv_keep):
+    keep = _keep_mask(seed_ref, rate, tile_id, x32.shape)
+    return jnp.where(keep, x32 * inv_keep, 0.0)
+
+
+def _tid1():
+    """Tile id for the first (row, IT)-shaped dropout."""
+    return pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+
+
+def _tid2():
+    """Tile id for the second (row, h)-shaped dropout (offset past every
+    first-dropout id)."""
+    return (pl.num_programs(0) * pl.num_programs(1)
+            + pl.program_id(0))
+
+
+def _gelu_slice(x, w1_ref, b1_ref, seed_ref, cdt, rate, inv_keep):
+    """First GEMM + bias + GELU + dropout for the current inter slice.
+    Mirrors the XLA op order: f32-accumulated dot + bias, cast to the
+    compute dtype between stages (what `dense` does)."""
+    h32 = _dot(x, w1_ref[...]) + b1_ref[...].astype(jnp.float32)
+    h = h32.astype(cdt)
+    g32 = _gelu_f32(h.astype(jnp.float32))
+    if rate > 0.0:
+        g32 = _drop(g32, seed_ref, rate, _tid1(), inv_keep)
+    return h, g32.astype(cdt)
+
+
+def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, ls_ref, lb_ref,
+                seed_ref, y_ref, y2d_ref, mean_ref, rstd_ref, acc_scr,
+                *, rate: float, eps: float):
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+    cdt = x_ref.dtype
+    inv_keep = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
+
+    @pl.when(j == 0)
+    def _init():
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    x = x_ref[...]
+    _, gd = _gelu_slice(x, w1_ref, b1_ref, seed_ref, cdt, rate,
+                        inv_keep)
+    acc_scr[...] += _dot(gd, w2_ref[...])
+
+    @pl.when(j == n_j - 1)
+    def _tail():
+        y2_32 = acc_scr[...] + b2_ref[...].astype(jnp.float32)
+        y2 = y2_32.astype(cdt).astype(jnp.float32)
+        if rate > 0.0:
+            y2 = _drop(y2, seed_ref, rate, _tid2(), inv_keep)
+        y2d_ref[...] = y2.astype(y2d_ref.dtype)
+        s = y2 + x.astype(jnp.float32)
+        mean = jnp.mean(s, axis=1, keepdims=True)
+        c = s - mean
+        var = jnp.mean(c * c, axis=1, keepdims=True)
+        rstd = jax.lax.rsqrt(var + eps)
+        y = c * rstd * ls_ref[...].astype(jnp.float32) \
+            + lb_ref[...].astype(jnp.float32)
+        y_ref[...] = y.astype(y_ref.dtype)
+        mean_ref[...] = jnp.broadcast_to(mean, mean_ref.shape)
+        rstd_ref[...] = jnp.broadcast_to(rstd, rstd_ref.shape)
+
+
+def _row_grads(x_ref, y2d_ref, dy_ref, ls_ref, mean_ref, rstd_ref,
+               seed_ref, rate, inv_keep):
+    """Row-local backward head, recomputed per inter step (cheap, (R, h)
+    sized): LN backward → residual/dropout split."""
+    x32 = x_ref[...].astype(jnp.float32)
+    s = y2d_ref[...].astype(jnp.float32) + x32
+    mean = mean_ref[...][:, :1]
+    rstd = rstd_ref[...][:, :1]
+    xhat = (s - mean) * rstd
+    dy = dy_ref[...].astype(jnp.float32)
+    gl = dy * ls_ref[...].astype(jnp.float32)
+    m1 = jnp.mean(gl, axis=1, keepdims=True)
+    m2 = jnp.mean(gl * xhat, axis=1, keepdims=True)
+    ds = (gl - m1 - xhat * m2) * rstd
+    dy2 = ds
+    if rate > 0.0:
+        dy2 = _drop(dy2, seed_ref, rate, _tid2(), inv_keep)
+    return xhat, ds, dy2
+
+
+def _bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, ls_ref, seed_ref,
+                mean_ref, rstd_ref, y2d_ref, dy_ref,
+                dx_ref, dh_ref, gd_ref, dy2_ref, xhat_ref, dx_scr,
+                *, rate: float):
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+    cdt = x_ref.dtype
+    inv_keep = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
+
+    xhat, ds, dy2 = _row_grads(x_ref, y2d_ref, dy_ref, ls_ref,
+                               mean_ref, rstd_ref, seed_ref, rate,
+                               inv_keep)
+
+    @pl.when(j == 0)
+    def _init():
+        dx_scr[...] = ds  # residual branch of d s/d x
+
+    x = x_ref[...]
+    h, gd = _gelu_slice(x, w1_ref, b1_ref, seed_ref, cdt, rate,
+                        inv_keep)
+    dy2c = dy2.astype(cdt)
+    dgd = _dot(dy2c, w2_ref[...], dims=((1,), (1,)))     # (R, IT)
+    if rate > 0.0:
+        dgd = _drop(dgd, seed_ref, rate, _tid1(), inv_keep)
+    dh = dgd * _gelu_grad_f32(h.astype(jnp.float32))
+    dhc = dh.astype(cdt)
+    dx_scr[...] += _dot(dhc, w1_ref[...], dims=((1,), (1,)))
+
+    dh_ref[...] = dhc
+    gd_ref[...] = gd
+
+    @pl.when(j == n_j - 1)
+    def _emit():
+        dx_ref[...] = dx_scr[...].astype(dx_ref.dtype)
+        dy2_ref[...] = dy2.astype(dy2_ref.dtype)
+        xhat_ref[...] = xhat.astype(xhat_ref.dtype)
+
+
+def _specs(bn, h, it):
+    row_h = pl.BlockSpec((bn, h), lambda i, j: (i, 0))
+    row_it = pl.BlockSpec((bn, it), lambda i, j: (i, j))
+    w1 = pl.BlockSpec((h, it), lambda i, j: (0, j))
+    w2 = pl.BlockSpec((it, h), lambda i, j: (j, 0))
+    vec_h = pl.BlockSpec((1, h), lambda i, j: (0, 0))
+    vec_it = pl.BlockSpec((1, it), lambda i, j: (0, j))
+    stat = pl.BlockSpec((bn, LANES), lambda i, j: (i, 0))
+    seed = pl.BlockSpec(memory_space=pltpu.SMEM)
+    return row_h, row_it, w1, w2, vec_h, vec_it, stat, seed
+
+
+def _fwd_call(x2, w1, b1, w2, b2, ls, lb, seed, rate, eps):
+    n, h = x2.shape
+    inter = w1.shape[1]
+    bn = min(_block_rows(x2.dtype, bwd=False), n)
+    it = _block_inter(x2.dtype, inter)
+    row_h, _, w1s, w2s, vec_h, vec_it, stat, seed_s = _specs(bn, h, it)
+    grid = (n // bn, inter // it)
+    y, y2d, mean, rstd = pl.pallas_call(
+        functools.partial(_fwd_kernel, rate=rate, eps=eps),
+        grid=grid,
+        in_specs=[row_h, w1s, vec_it, w2s, vec_h, vec_h, vec_h, seed_s],
+        out_specs=(row_h, row_h, stat, stat),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, h), x2.dtype),
+            jax.ShapeDtypeStruct((n, h), x2.dtype),
+            jax.ShapeDtypeStruct((n, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n, LANES), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((bn, h), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(x2, w1, b1.reshape(1, inter), w2, b2.reshape(1, h),
+      ls.reshape(1, h), lb.reshape(1, h), seed)
+    return y, y2d, mean, rstd
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def _ffn_core(x2, w1, b1, w2, b2, ls, lb, seed, rate, eps):
+    y, _, _, _ = _fwd_call(x2, w1, b1, w2, b2, ls, lb, seed, rate, eps)
+    return y
+
+
+def _ffn_core_fwd(x2, w1, b1, w2, b2, ls, lb, seed, rate, eps):
+    y, y2d, mean, rstd = _fwd_call(x2, w1, b1, w2, b2, ls, lb, seed,
+                                   rate, eps)
+    return y, (x2, w1, b1, w2, ls, seed, y2d, mean, rstd)
+
+
+def _ffn_core_bwd(rate, eps, res, dy):
+    x2, w1, b1, w2, ls, seed, y2d, mean, rstd = res
+    n, h = x2.shape
+    inter = w1.shape[1]
+    bn = min(_block_rows(x2.dtype, bwd=True), n)
+    it = _block_inter(x2.dtype, inter)
+    row_h, row_it, w1s, w2s, vec_h, vec_it, stat, seed_s = _specs(
+        bn, h, it)
+    grid = (n // bn, inter // it)
+    dx, dh, gd, dy2, xhat = pl.pallas_call(
+        functools.partial(_bwd_kernel, rate=rate),
+        grid=grid,
+        in_specs=[row_h, w1s, vec_it, w2s, vec_h, seed_s,
+                  stat, stat, row_h, row_h],
+        out_specs=(row_h, row_it, row_it, row_h, row_h),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, h), x2.dtype),
+            jax.ShapeDtypeStruct((n, inter), x2.dtype),
+            jax.ShapeDtypeStruct((n, inter), x2.dtype),
+            jax.ShapeDtypeStruct((n, h), x2.dtype),
+            jax.ShapeDtypeStruct((n, h), x2.dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((bn, h), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(x2, w1, b1.reshape(1, inter), w2, ls.reshape(1, h), seed,
+      mean, rstd, y2d, dy)
+
+    # weight / bias / LN-parameter grads: plain reductions over the
+    # emitted tiles — XLA wgrad GEMMs run at full rate and their f32
+    # accumulators would not fit VMEM next to the streamed weights
+    f32 = jnp.float32
+    dw1 = jnp.einsum("nk,nm->km", x2, dh,
+                     preferred_element_type=f32).astype(w1.dtype)
+    db1 = jnp.sum(dh.astype(f32), axis=0).astype(b1.dtype)
+    dw2 = jnp.einsum("nm,nk->mk", gd, dy2,
+                     preferred_element_type=f32).astype(w2.dtype)
+    db2 = jnp.sum(dy2.astype(f32), axis=0).astype(b1.dtype)
+    dy32 = dy.astype(f32)
+    dls = jnp.sum(dy32 * xhat.astype(f32), axis=0).astype(ls.dtype)
+    dlb = jnp.sum(dy32, axis=0).astype(ls.dtype)
+    return (dx, dw1, db1, dw2, db2, dls, dlb, None)
+
+
+_ffn_core.defvjp(_ffn_core_fwd, _ffn_core_bwd)
+
+
+def fused_ffn_block(x: jnp.ndarray, w1, b1, w2, b2, ln_scale, ln_bias,
+                    *, dropout_rate: float = 0.0, dropout_rng=None,
+                    eps: float = 1e-12) -> jnp.ndarray:
+    """LN(x + drop(drop(gelu(x@w1+b1))@w2+b2)) over the last axis.
+
+    x: (..., h); w1: (h, inter); w2: (inter, h); h and inter must be
+    128-lane multiples (BERT: 768/3072)."""
+    shape = x.shape
+    h = shape[-1]
+    n = 1
+    for d in shape[:-1]:
+        n *= d
+    x2 = x.reshape(n, h)
+    rate = float(dropout_rate)
+    if rate > 0.0:
+        if dropout_rng is None:
+            raise ValueError("fused_ffn_block: dropout_rate > 0 "
+                             "requires dropout_rng")
+        seed = jax.random.bits(dropout_rng, (1,), "uint32").astype(
+            jnp.int32)
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
+    # pad rows to the FWD block (the bwd block always divides it)
+    bn = min(_block_rows(x2.dtype, bwd=False), _round_up(n, 8))
+    n_pad = _round_up(n, bn)
+    if n_pad != n:
+        x2 = jnp.pad(x2, ((0, n_pad - n), (0, 0)))
+    y = _ffn_core(x2, w1, b1, w2, b2, ln_scale, ln_bias, seed, rate,
+                  float(eps))
+    return y[:n].reshape(shape)

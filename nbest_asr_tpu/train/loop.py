@@ -632,6 +632,7 @@ def build_model(opt: RunOptions, memory: Memory, tokenizer):
         hidden_dropout=opt.bert_dropout, attn_dropout=opt.bert_dropout,
         compute_dtype=opt.compute_dtype,
         use_flash_attention=resolve_flash(opt.use_flash_attention),
+        use_fused_ffn=resolve_flash(opt.use_fused_ffn),
         remat=opt.remat)
 
     name = opt.tod_pre_trained_model or HF_NAMES.get(

@@ -176,6 +176,82 @@ def main() -> int:
     yr = _xla_embed(word, pos, typ, esc, ebi, ids, tids, posids, 1e-12)
     check("fused_embed fwd", ye, yr, 1e-4)
 
+    # ---- fused FFN megakernel ------------------------------------------ #
+    from nbest_asr_tpu.ops.fused_ffn import fused_ffn_block
+
+    nf, hf, itf = 512, 768, 3072
+    xf = jnp.asarray(rng.randn(nf, hf) * 0.5, jnp.float32)
+    w1 = jnp.asarray(rng.randn(hf, itf) * 0.05, jnp.float32)
+    fb1 = jnp.asarray(rng.randn(itf) * 0.02, jnp.float32)
+    w2 = jnp.asarray(rng.randn(itf, hf) * 0.05, jnp.float32)
+    fb2 = jnp.asarray(rng.randn(hf) * 0.02, jnp.float32)
+    fls = jnp.asarray(1.0 + 0.1 * rng.randn(hf), jnp.float32)
+    flb = jnp.asarray(0.1 * rng.randn(hf), jnp.float32)
+
+    def ffn_oracle(x_, w1_, fb1_, w2_, fb2_):
+        yy = gelu(x_ @ w1_ + fb1_)
+        return layer_norm(x_ + (yy @ w2_ + fb2_), fls, flb)
+
+    with jax.default_matmul_precision("highest"):
+        want_f = ffn_oracle(xf, w1, fb1, w2, fb2)
+    got_f = jax.jit(functools.partial(fused_ffn_block))(
+        xf, w1, fb1, w2, fb2, fls, flb)
+    check("fused_ffn fwd", got_f, want_f, 1e-4)
+
+    def floss(fn):
+        return lambda *a: jnp.sum(fn(*a).astype(jnp.float32) ** 2)
+
+    # gradients on chip run in the production dtype (bf16) — the f32
+    # backward exceeds the 16M scoped-VMEM budget with the
+    # double-buffered f32 weight slices (f32 grads are pinned exactly
+    # in interpret mode by tests/test_fused_ffn.py); compare against
+    # the f32 oracle with norm-relative bf16 tolerances
+    xb, w1b, w2b = (a.astype(jnp.bfloat16) for a in (xf, w1, w2))
+    gf = jax.jit(jax.grad(
+        floss(lambda x_, a_, c_: fused_ffn_block(
+            x_, a_, fb1, c_, fb2, fls, flb)),
+        argnums=(0, 1, 2)))(xb, w1b, w2b)
+    with jax.default_matmul_precision("highest"):
+        gr = jax.grad(floss(ffn_oracle), argnums=(0, 1, 3))(
+            xf, w1, fb1, w2, fb2)
+    for a, b_, nm in zip(gf, gr, ("dx", "dw1", "dw2")):
+        a32 = np.asarray(a, np.float32)
+        b32 = np.asarray(b_, np.float32)
+        rel = float(np.abs(a32 - b32).max() / max(np.abs(b32).max(), 1e-9))
+        ok_g = rel < 0.05
+        print(f"{'PASS' if ok_g else 'FAIL'}  fused_ffn {nm} (bf16): "
+              f"rel max diff {rel:.2e} (< 0.05)")
+        if not ok_g:
+            failures.append(f"fused_ffn {nm}")
+
+    # dropout: determinism, key variation, grad finiteness (the exact
+    # keep-mask mechanism is oracle-validated in the flash section —
+    # same _keep_mask helper)
+    ffn_drop = jax.jit(functools.partial(
+        fused_ffn_block, dropout_rate=0.3))
+    d1 = ffn_drop(xf, w1, fb1, w2, fb2, fls, flb,
+                  dropout_rng=jax.random.PRNGKey(3))
+    d2 = ffn_drop(xf, w1, fb1, w2, fb2, fls, flb,
+                  dropout_rng=jax.random.PRNGKey(3))
+    d3 = ffn_drop(xf, w1, fb1, w2, fb2, fls, flb,
+                  dropout_rng=jax.random.PRNGKey(4))
+    check("fused_ffn dropout determinism", d1, d2, 0.0)
+    varies = float(np.abs(np.asarray(d1) - np.asarray(d3)).max()) > 1e-3
+    changes = float(np.abs(np.asarray(d1) - np.asarray(got_f)).max()) > 1e-3
+    ok_dv = varies and changes
+    print(f"{'PASS' if ok_dv else 'FAIL'}  fused_ffn dropout varies by "
+          f"key and differs from no-drop")
+    if not ok_dv:
+        failures.append("fused_ffn dropout variation")
+    gd_ = jax.jit(jax.grad(floss(
+        lambda x_, a_, c_: fused_ffn_block(
+            x_, a_, fb1, c_, fb2, fls, flb, dropout_rate=0.3,
+            dropout_rng=jax.random.PRNGKey(5)))))(xb, w1b, w2b)
+    ok_fin = bool(np.all(np.isfinite(np.asarray(gd_, np.float32))))
+    print(f"{'PASS' if ok_fin else 'FAIL'}  fused_ffn dropout grads finite")
+    if not ok_fin:
+        failures.append("fused_ffn dropout grads")
+
     print("ALL PASS" if not failures else f"FAILURES: {failures}")
     return 1 if failures else 0
 
