@@ -90,6 +90,10 @@ class RunOptions:
     use_fused_ffn: "bool | None" = None   # None = auto: the Pallas FFN
     # megakernel (ops/fused_ffn.py) on TPU backends — ~4% faster steps
     # at every DSTC2 bucket with both FFN weights VMEM-resident
+    flash_min_seq: int = 160              # flash-attention routing
+    # threshold (bucketed seq >= this trains on the Pallas kernel);
+    # serialized into the exp dir when non-default, dumped with the rest
+    # of the config to exp_dir/config.json
     remat: bool = False
     n_model_parallel: int = 1             # tensor-parallel mesh axis
     len_multiple: int = 8                 # pad lengths to this multiple
@@ -222,6 +226,9 @@ def parse_arguments(argv=None) -> RunOptions:
                    "— on for TPU)")
     p.add_argument("--no_fused_ffn", dest="use_fused_ffn",
                    action="store_false", help="force the XLA FFN path")
+    p.add_argument("--flash_min_seq", type=int, default=d.flash_min_seq,
+                   help="flash-attention routing threshold (bucketed "
+                   "seq >= this trains on the Pallas kernel)")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--n_model_parallel", type=int, default=1)
     p.add_argument("--len_multiple", type=int, default=d.len_multiple)

@@ -50,6 +50,10 @@ class EncoderConfig:
     initializer_range: float = 0.02
     compute_dtype: str = "float32"  # "bfloat16" on TPU hot path
     use_flash_attention: bool = False
+    flash_min_seq: int = 160        # route training attention to the
+    # Pallas kernel at bucketed seq >= this (measured crossover on v5e,
+    # ops/attention.py routing table); NBEST_FLASH_MIN_SEQ env var
+    # overrides for probing
     # EXPERIMENTAL correctness-tier kernels (validated on-chip by
     # tools/tpu_kernel_check.py, but measured SLOWER than the XLA path
     # in training: fused LN+GELU encoder fwd+bwd 84.1 ms vs 65.3 ms XLA
@@ -220,6 +224,7 @@ def encoder_forward(params: dict, input_ids: jnp.ndarray,
             dropout_rng=jax.random.fold_in(lrng, 1),
             deterministic=deterministic,
             use_flash=cfg.use_flash_attention,
+            flash_min_seq=cfg.flash_min_seq,
         ).reshape(b, s, h)
         ctx = qdense(ctx, p["attn_out_kernel"], p["attn_out_bias"])
         if not deterministic:

@@ -18,23 +18,36 @@ from .layers import dropout
 
 def resolve_flash(flag) -> bool:
     """Resolve the tri-state --use_flash_attention flag: None = auto =
-    Pallas attention on the training path when the backend is a real
-    accelerator (it needs Mosaic lowering; interpret mode on CPU is for
-    tests only)."""
+    Pallas kernels on the training path when the backend is a TPU.  The
+    kernels are Mosaic-only (pltpu.prng_seed, TPU CompilerParams): they
+    cannot lower on GPU, and interpret mode on CPU is for tests only —
+    so auto must check for "tpu" specifically, not merely "not cpu"."""
     if flag is not None:
         return bool(flag)
     import jax
 
-    return jax.default_backend() != "cpu"
+    return jax.default_backend() == "tpu"
 
 
 # Below this sequence length the XLA attention wins even while training
 # with dropout (see the routing table in multi_head_attention); the
-# threshold compares the *bucketed* (static) seq length.  Overridable
-# for tuning/measurement via NBEST_FLASH_MIN_SEQ.
+# threshold compares the *bucketed* (static) seq length.  The production
+# knob is EncoderConfig.flash_min_seq / --flash_min_seq (serialized with
+# the run config); the NBEST_FLASH_MIN_SEQ env var remains as a
+# measurement-time override for probing only and wins when set.
 import os as _os
 
-FLASH_MIN_SEQ = int(_os.environ.get("NBEST_FLASH_MIN_SEQ", "160"))
+DEFAULT_FLASH_MIN_SEQ = 160
+
+
+def effective_flash_min_seq(cfg_value=None) -> int:
+    env = _os.environ.get("NBEST_FLASH_MIN_SEQ")
+    if env is not None:
+        return int(env)
+    return DEFAULT_FLASH_MIN_SEQ if cfg_value is None else int(cfg_value)
+
+
+FLASH_MIN_SEQ = effective_flash_min_seq()
 
 
 def multi_head_attention(
@@ -47,6 +60,7 @@ def multi_head_attention(
     dropout_rng=None,
     deterministic: bool = True,
     use_flash: bool = False,
+    flash_min_seq: "int | None" = None,
 ) -> jnp.ndarray:
     """Returns (b, s, n_heads, d_head).
 
@@ -73,7 +87,8 @@ def multi_head_attention(
     memory path: batch 64 x 256 trains under flash where XLA OOMs the
     16G chip.
     """
-    if use_flash and not deterministic and q.shape[1] >= FLASH_MIN_SEQ:
+    if (use_flash and not deterministic
+            and q.shape[1] >= effective_flash_min_seq(flash_min_seq)):
         from .flash_attention import flash_attention
 
         if dropout_rate > 0.0:

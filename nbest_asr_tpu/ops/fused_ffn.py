@@ -99,21 +99,54 @@ def _gelu_grad_f32(h32):
     return cdf + h32 * pdf
 
 
-def _drop(x32, seed_ref, rate, tile_id, inv_keep):
-    keep = _keep_mask(seed_ref, rate, tile_id, x32.shape)
+MASK_ROWS = 64
+
+
+def _mask_ids(bn: int):
+    """Dropout-mask tile ids at a FIXED 64-row granularity, independent
+    of the kernel's row-block size.  The forward runs 128-row blocks and
+    the backward 64-row blocks (VMEM budget, `_block_rows`); keying masks
+    on the *kernel* tile id+shape would decorrelate them between forward
+    and backward and silently corrupt the dropout gradients.  Instead
+    every absolute 64-row sub-tile r of the (padded) row dimension draws
+    its own mask: a 128-row forward block covers sub-tiles 2i and 2i+1,
+    exactly the backward's blocks i'=2i and 2i+1.
+
+    Returns (stream1, stream2): id of sub-tile s of the current block for
+    the first (row, IT) dropout at inter-slice j, and for the second
+    (row, h) dropout (offset past every stream-1 id).  When bn < 64 the
+    whole call is a single block shared by fwd and bwd (fused_ffn_block
+    pads rows so this is the only other case), and the block is its own
+    sub-tile."""
+    n_sub = max(bn // MASK_ROWS, 1)
+    r0 = pl.program_id(0) * n_sub
+    n64 = pl.num_programs(0) * n_sub
+    n_j = pl.num_programs(1)
+    j = pl.program_id(1)
+
+    def stream1(s):
+        return (r0 + s) * n_j + j
+
+    def stream2(s):
+        return n64 * n_j + (r0 + s)
+
+    return stream1, stream2
+
+
+def _drop(x32, seed_ref, rate, id_fn, inv_keep):
+    """Dropout over an (R, C) f32 tile, drawing the keep-mask per 64-row
+    sub-tile (see `_mask_ids`).  R is either a multiple of 64 or the
+    whole (sub-64) row dimension."""
+    rows = x32.shape[0]
+    if rows <= MASK_ROWS:
+        keep = _keep_mask(seed_ref, rate, id_fn(0), x32.shape)
+    else:
+        assert rows % MASK_ROWS == 0, rows
+        keep = jnp.concatenate(
+            [_keep_mask(seed_ref, rate, id_fn(s),
+                        (MASK_ROWS, x32.shape[1]))
+             for s in range(rows // MASK_ROWS)], axis=0)
     return jnp.where(keep, x32 * inv_keep, 0.0)
-
-
-def _tid1():
-    """Tile id for the first (row, IT)-shaped dropout."""
-    return pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
-
-
-def _tid2():
-    """Tile id for the second (row, h)-shaped dropout (offset past every
-    first-dropout id)."""
-    return (pl.num_programs(0) * pl.num_programs(1)
-            + pl.program_id(0))
 
 
 def _gelu_slice(x, w1_ref, b1_ref, seed_ref, cdt, rate, inv_keep):
@@ -124,7 +157,8 @@ def _gelu_slice(x, w1_ref, b1_ref, seed_ref, cdt, rate, inv_keep):
     h = h32.astype(cdt)
     g32 = _gelu_f32(h.astype(jnp.float32))
     if rate > 0.0:
-        g32 = _drop(g32, seed_ref, rate, _tid1(), inv_keep)
+        s1, _ = _mask_ids(x.shape[0])
+        g32 = _drop(g32, seed_ref, rate, s1, inv_keep)
     return h, g32.astype(cdt)
 
 
@@ -150,7 +184,8 @@ def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, ls_ref, lb_ref,
         y2_32 = acc_scr[...] + b2_ref[...].astype(jnp.float32)
         y2 = y2_32.astype(cdt).astype(jnp.float32)
         if rate > 0.0:
-            y2 = _drop(y2, seed_ref, rate, _tid2(), inv_keep)
+            _, s2 = _mask_ids(x.shape[0])
+            y2 = _drop(y2, seed_ref, rate, s2, inv_keep)
         y2d_ref[...] = y2.astype(y2d_ref.dtype)
         s = y2 + x.astype(jnp.float32)
         mean = jnp.mean(s, axis=1, keepdims=True)
@@ -180,7 +215,8 @@ def _row_grads(x_ref, y2d_ref, dy_ref, ls_ref, mean_ref, rstd_ref,
     ds = (gl - m1 - xhat * m2) * rstd
     dy2 = ds
     if rate > 0.0:
-        dy2 = _drop(dy2, seed_ref, rate, _tid2(), inv_keep)
+        _, s2 = _mask_ids(x32.shape[0])
+        dy2 = _drop(dy2, seed_ref, rate, s2, inv_keep)
     return xhat, ds, dy2
 
 
@@ -207,7 +243,8 @@ def _bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, ls_ref, seed_ref,
     dy2c = dy2.astype(cdt)
     dgd = _dot(dy2c, w2_ref[...], dims=((1,), (1,)))     # (R, IT)
     if rate > 0.0:
-        dgd = _drop(dgd, seed_ref, rate, _tid1(), inv_keep)
+        s1, _ = _mask_ids(x.shape[0])
+        dgd = _drop(dgd, seed_ref, rate, s1, inv_keep)
     dh = dgd * _gelu_grad_f32(h.astype(jnp.float32))
     dhc = dh.astype(cdt)
     dx_scr[...] += _dot(dhc, w1_ref[...], dims=((1,), (1,)))
@@ -269,11 +306,15 @@ def _ffn_core(x2, w1, b1, w2, b2, ls, lb, seed, rate, eps):
 def _ffn_core_fwd(x2, w1, b1, w2, b2, ls, lb, seed, rate, eps):
     y, y2d, mean, rstd = _fwd_call(x2, w1, b1, w2, b2, ls, lb, seed,
                                    rate, eps)
-    return y, (x2, w1, b1, w2, ls, seed, y2d, mean, rstd)
+    return y, (x2, w1, b1, w2, b2, ls, lb, seed, y2d, mean, rstd)
 
 
-def _ffn_core_bwd(rate, eps, res, dy):
-    x2, w1, b1, w2, ls, seed, y2d, mean, rstd = res
+def _bwd_call(x2, w1, b1, w2, ls, seed, mean, rstd, y2d, dy, rate):
+    """The backward Pallas sweep.  Returns the input gradient plus the
+    intermediate tiles (dh, gd, dy2, xhat) that the weight/bias/LN-param
+    reductions consume — also used directly by tools/tpu_kernel_check.py
+    to extract the backward's regenerated dropout masks (gd, dy2) for
+    the fwd/bwd mask-consistency oracle."""
     n, h = x2.shape
     inter = w1.shape[1]
     bn = min(_block_rows(x2.dtype, bwd=True), n)
@@ -281,7 +322,7 @@ def _ffn_core_bwd(rate, eps, res, dy):
     row_h, row_it, w1s, w2s, vec_h, vec_it, stat, seed_s = _specs(
         bn, h, it)
     grid = (n // bn, inter // it)
-    dx, dh, gd, dy2, xhat = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_bwd_kernel, rate=rate),
         grid=grid,
         in_specs=[row_h, w1s, vec_it, w2s, vec_h, seed_s,
@@ -300,6 +341,12 @@ def _ffn_core_bwd(rate, eps, res, dy):
     )(x2, w1, b1.reshape(1, inter), w2, ls.reshape(1, h), seed,
       mean, rstd, y2d, dy)
 
+
+def _ffn_core_bwd(rate, eps, res, dy):
+    x2, w1, b1, w2, b2, ls, lb, seed, y2d, mean, rstd = res
+    dx, dh, gd, dy2, xhat = _bwd_call(x2, w1, b1, w2, ls, seed,
+                                      mean, rstd, y2d, dy, rate)
+
     # weight / bias / LN-parameter grads: plain reductions over the
     # emitted tiles — XLA wgrad GEMMs run at full rate and their f32
     # accumulators would not fit VMEM next to the streamed weights
@@ -309,10 +356,10 @@ def _ffn_core_bwd(rate, eps, res, dy):
     db1 = jnp.sum(dh.astype(f32), axis=0).astype(b1.dtype)
     dw2 = jnp.einsum("nm,nk->mk", gd, dy2,
                      preferred_element_type=f32).astype(w2.dtype)
-    db2 = jnp.sum(dy2.astype(f32), axis=0).astype(b1.dtype)
+    db2 = jnp.sum(dy2.astype(f32), axis=0).astype(b2.dtype)
     dy32 = dy.astype(f32)
     dls = jnp.sum(dy32 * xhat.astype(f32), axis=0).astype(ls.dtype)
-    dlb = jnp.sum(dy32, axis=0).astype(ls.dtype)
+    dlb = jnp.sum(dy32, axis=0).astype(lb.dtype)
     return (dx, dw1, db1, dw2, db2, dls, dlb, None)
 
 
@@ -341,9 +388,12 @@ def fused_ffn_block(x: jnp.ndarray, w1, b1, w2, b2, ln_scale, ln_bias,
             jnp.int32)
     else:
         seed = jnp.zeros((1,), jnp.int32)
-    # pad rows to the FWD block (the bwd block always divides it)
-    bn = min(_block_rows(x2.dtype, bwd=False), _round_up(n, 8))
-    n_pad = _round_up(n, bn)
+    # pad rows so BOTH row blockings tile exactly: up to MASK_ROWS the
+    # fwd and bwd share a single (8-sublane-aligned) block; anything
+    # larger pads to the 128-row fwd block, whose 64-row bwd blocks and
+    # 64-row mask sub-tiles (`_mask_ids`) then divide it
+    n8 = _round_up(n, 8)
+    n_pad = n8 if n8 <= MASK_ROWS else _round_up(n, BLOCK_ROWS)
     if n_pad != n:
         x2 = jnp.pad(x2, ((0, n_pad - n), (0, 0)))
     y = _ffn_core(x2, w1, b1, w2, b2, ln_scale, ln_bias, seed, rate,

@@ -477,6 +477,13 @@ class Trainer:
         kill/resume tests and operational dry-runs."""
         opt = self.opt
         os.makedirs(opt.exp_dir, exist_ok=True)
+        # full config snapshot: every knob (incl. TPU-native ones that the
+        # reference-parity dir NAME omits) is machine-readable per run
+        from dataclasses import asdict
+
+        snap = {k: v for k, v in asdict(opt).items() if k != "ontology"}
+        with open(os.path.join(opt.exp_dir, "config.json"), "w") as fp:
+            json.dump(snap, fp, indent=1, default=str)
         logger = self.logger or make_logger(
             os.path.join(opt.exp_dir, "log.train"))
         logger.info("Training starts at %s" % time.asctime())
@@ -633,6 +640,7 @@ def build_model(opt: RunOptions, memory: Memory, tokenizer):
         compute_dtype=opt.compute_dtype,
         use_flash_attention=resolve_flash(opt.use_flash_attention),
         use_fused_ffn=resolve_flash(opt.use_fused_ffn),
+        flash_min_seq=opt.flash_min_seq,
         remat=opt.remat)
 
     name = opt.tod_pre_trained_model or HF_NAMES.get(

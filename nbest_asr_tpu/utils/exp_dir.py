@@ -28,5 +28,10 @@ def get_exp_dir(opt) -> str:
         f"repr_{opt.sent_repr}",
         f"cls_{opt.cls_type}",
     ]
+    # TPU-native knobs that change training dynamics are appended only
+    # when non-default so reference-parity runs keep reference-parity
+    # names (full config always lands in exp_dir/config.json)
+    if getattr(opt, "flash_min_seq", 160) != 160:
+        parts.append(f"fms_{opt.flash_min_seq}")
     return os.path.join(opt.experiment, f"data_{opt.dataset}",
                         "__".join(parts))

@@ -98,6 +98,47 @@ def test_dropout_path_traces_and_is_finite():
         assert np.all(np.isfinite(np.asarray(a)))
 
 
+def test_mask_ids_block_size_invariant():
+    """The dropout-mask tile ids must be identical whether the kernel
+    runs 128-row blocks (forward) or 64-row blocks (backward) — the
+    round-2 advisor found the ids were keyed on the KERNEL block, which
+    silently decorrelated the fwd/bwd dropout masks.  Probe kernels dump
+    `_mask_ids` per absolute 64-row sub-tile under both blockings and
+    the streams must agree elementwise."""
+    import functools
+    from jax.experimental import pallas as pl
+    from nbest_asr_tpu.ops.fused_ffn import _mask_ids
+
+    N, NJ = 256, 2
+
+    def probe(o_ref, *, bn):
+        s1, s2 = _mask_ids(bn)
+        n_sub = max(bn // 64, 1)
+        o_ref[...] = jnp.stack(
+            [jnp.full((128,), s1(s) * 65536 + s2(s), jnp.int32)
+             for s in range(n_sub)])
+
+    def run(bn):
+        n_sub = bn // 64
+        return pl.pallas_call(
+            functools.partial(probe, bn=bn),
+            grid=(N // bn, NJ),
+            out_specs=pl.BlockSpec((n_sub, 128), lambda i, j: (i, j)),
+            out_shape=jax.ShapeDtypeStruct((N // 64, NJ * 128),
+                                           jnp.int32),
+            interpret=True,
+        )()
+
+    fwd_ids = np.asarray(run(128))
+    bwd_ids = np.asarray(run(64))
+    np.testing.assert_array_equal(fwd_ids, bwd_ids)
+    # and ids are unique across (sub-tile, j, stream)
+    s1 = fwd_ids[:, ::128] // 65536
+    s2 = fwd_ids[:, ::128] % 65536
+    all_ids = np.concatenate([s1.ravel(), np.unique(s2.ravel())])
+    assert len(np.unique(all_ids)) == len(all_ids)
+
+
 def test_dropout_rng_required():
     args = _inputs(n=16)
     with pytest.raises(ValueError, match="requires dropout_rng"):

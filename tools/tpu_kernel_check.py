@@ -6,27 +6,39 @@ alignment, supported primitives) that interpret mode does not enforce.
 This script compiles and checks every kernel against its XLA oracle on
 the actual TPU.  Run after touching anything under `nbest_asr_tpu/ops/`.
 
-Usage: python tools/tpu_kernel_check.py
+Usage: python tools/tpu_kernel_check.py [--record [PATH]]
 Prints one PASS/FAIL line per kernel and exits nonzero on failure.
+`--record` additionally writes a machine-readable TPUCHECK.json
+(per-check name/ok/measured value + overall verdict) so each round
+ships proof the kernels still pass on real hardware.
 """
 
 from __future__ import annotations
 
 import functools
+import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
+RESULTS: list = []
 
-def main() -> int:
+
+def main(record_path: "str | None" = None) -> int:
     import jax
     import jax.numpy as jnp
     import numpy as np
 
+    t0 = time.time()
     if jax.devices()[0].platform == "cpu":
         print("SKIP: no accelerator (kernels need real Mosaic lowering)")
+        if record_path:
+            with open(record_path, "w") as f:
+                json.dump({"skipped": True, "reason": "no accelerator"},
+                          f, indent=1)
         return 0
 
     jax.config.update("jax_compilation_cache_dir", os.path.join(
@@ -43,14 +55,29 @@ def main() -> int:
     rng = np.random.RandomState(0)
     failures = []
 
+    def record(name, ok, value):
+        RESULTS.append({"name": name, "ok": bool(ok),
+                        "value": float(value)})
+        if not ok:
+            failures.append(name)
+
     def check(name, got, want, atol):
         diff = float(np.abs(np.asarray(got, np.float32)
                             - np.asarray(want, np.float32)).max())
         ok = diff <= atol
         print(f"{'PASS' if ok else 'FAIL'}  {name}: max diff {diff:.2e} "
               f"(atol {atol:g})")
-        if not ok:
-            failures.append(name)
+        record(name, ok, diff)
+
+    def check_rel(name, got, want, rtol):
+        a32 = np.asarray(got, np.float32)
+        b32 = np.asarray(want, np.float32)
+        rel = float(np.abs(a32 - b32).max()
+                    / max(np.abs(b32).max(), 1e-9))
+        ok = rel < rtol
+        print(f"{'PASS' if ok else 'FAIL'}  {name}: rel max diff "
+              f"{rel:.2e} (< {rtol:g})")
+        record(name, ok, rel)
 
     # ---- flash attention (fwd + grads) -------------------------------- #
     b, s, h, d = 4, 256, 4, 64
@@ -88,54 +115,65 @@ def main() -> int:
     # normalized prob matrix D = (M/keep) ⊙ softmax(qk^T*scale): extract
     # the exact on-chip keep-mask M, then build an XLA oracle with the
     # same constant mask — forward and all three gradients must match.
-    sd = 128
-    qd = jnp.asarray(rng.randn(2, sd, 2, sd), jnp.float32)
-    kd = jnp.asarray(rng.randn(2, sd, 2, sd), jnp.float32)
-    eye = jnp.broadcast_to(jnp.eye(sd, dtype=jnp.float32)[None, :, None, :],
-                           (2, sd, 2, sd))
-    mask_d = jnp.ones((2, sd), jnp.float32)
-    rate = 0.3
-    drng = jax.random.PRNGKey(7)
+    # Run twice: the default routing (single-block kernel at s=128) and
+    # the TILED kernels (explicit block_q/block_k), whose dropout
+    # fwd/dq/dkv paths use a different tile-id scheme.
+    def flash_dropout_oracle_suite(tag, sd, block_kw):
+        qd = jnp.asarray(rng.randn(2, sd, 2, sd), jnp.float32)
+        kd = jnp.asarray(rng.randn(2, sd, 2, sd), jnp.float32)
+        eye = jnp.broadcast_to(
+            jnp.eye(sd, dtype=jnp.float32)[None, :, None, :],
+            (2, sd, 2, sd))
+        mask_d = jnp.ones((2, sd), jnp.float32)
+        rate = 0.3
+        drng = jax.random.PRNGKey(7)
 
-    flash_drop = jax.jit(functools.partial(
-        flash_attention, dropout_rate=rate, dropout_rng=drng))
-    d_mat = flash_drop(qd, kd, eye, mask_d)       # (b, q, h, k) = D
-    d1 = flash_drop(qd, kd, eye, mask_d)
-    check("flash_dropout determinism", d1, d_mat, 0.0)
+        flash_drop = jax.jit(functools.partial(
+            flash_attention, dropout_rate=rate, dropout_rng=drng,
+            **block_kw))
+        d_mat = flash_drop(qd, kd, eye, mask_d)   # (b, q, h, k) = D
+        d1 = flash_drop(qd, kd, eye, mask_d)
+        check(f"flash_dropout{tag} determinism", d1, d_mat, 0.0)
 
-    keep_m = jnp.asarray(np.asarray(d_mat) > 0, jnp.float32)
-    frac_dropped = 1.0 - float(np.asarray(keep_m).mean())
-    ok_frac = abs(frac_dropped - rate) < 0.01
-    print(f"{'PASS' if ok_frac else 'FAIL'}  flash_dropout drop fraction: "
-          f"{frac_dropped:.4f} (want {rate} ± 0.01)")
-    if not ok_frac:
-        failures.append("flash_dropout drop fraction")
+        keep_m = jnp.asarray(np.asarray(d_mat) > 0, jnp.float32)
+        frac_dropped = 1.0 - float(np.asarray(keep_m).mean())
+        ok_frac = abs(frac_dropped - rate) < 0.01
+        print(f"{'PASS' if ok_frac else 'FAIL'}  flash_dropout{tag} "
+              f"drop fraction: {frac_dropped:.4f} (want {rate} ± 0.01)")
+        record(f"flash_dropout{tag} drop fraction", ok_frac,
+               frac_dropped)
 
-    def oracle(q_, k_, v_):
-        # same math with the extracted constant mask, XLA autodiff
-        s_ = jnp.einsum("bqhd,bkhd->bqhk", q_, k_,
-                        preferred_element_type=jnp.float32) / (sd ** 0.5)
-        p_ = jax.nn.softmax(s_, axis=-1)
-        dmat = keep_m * p_ / (1.0 - rate)
-        return jnp.einsum("bqhk,bkhd->bqhd", dmat, v_,
-                          preferred_element_type=jnp.float32)
+        def oracle(q_, k_, v_):
+            # same math with the extracted constant mask, XLA autodiff
+            s_ = jnp.einsum("bqhd,bkhd->bqhk", q_, k_,
+                            preferred_element_type=jnp.float32) \
+                / (sd ** 0.5)
+            p_ = jax.nn.softmax(s_, axis=-1)
+            dmat = keep_m * p_ / (1.0 - rate)
+            return jnp.einsum("bqhk,bkhd->bqhd", dmat, v_,
+                              preferred_element_type=jnp.float32)
 
-    vd = jnp.asarray(rng.randn(2, sd, 2, sd), jnp.float32)
-    with jax.default_matmul_precision("highest"):
-        want = oracle(qd, kd, vd)
-    got = flash_drop(qd, kd, vd, mask_d)
-    check("flash_dropout fwd vs masked oracle", got, want, 5e-5)
+        vd = jnp.asarray(rng.randn(2, sd, 2, sd), jnp.float32)
+        with jax.default_matmul_precision("highest"):
+            want = oracle(qd, kd, vd)
+        got = flash_drop(qd, kd, vd, mask_d)
+        check(f"flash_dropout{tag} fwd vs masked oracle", got, want,
+              5e-5)
 
-    def loss_d(fn):
-        return lambda q_, k_, v_: jnp.sum(fn(q_, k_, v_) ** 2)
+        def loss_d(fn):
+            return lambda q_, k_, v_: jnp.sum(fn(q_, k_, v_) ** 2)
 
-    gd = jax.jit(jax.grad(
-        loss_d(lambda q_, k_, v_: flash_drop(q_, k_, v_, mask_d)),
-        argnums=(0, 1, 2)))(qd, kd, vd)
-    with jax.default_matmul_precision("highest"):
-        go = jax.grad(loss_d(oracle), argnums=(0, 1, 2))(qd, kd, vd)
-    for a, b_, nm in zip(gd, go, "qkv"):
-        check(f"flash_dropout d{nm}", a, b_, 2e-3)
+        gd = jax.jit(jax.grad(
+            loss_d(lambda q_, k_, v_: flash_drop(q_, k_, v_, mask_d)),
+            argnums=(0, 1, 2)))(qd, kd, vd)
+        with jax.default_matmul_precision("highest"):
+            go = jax.grad(loss_d(oracle), argnums=(0, 1, 2))(qd, kd, vd)
+        for a, b_, nm in zip(gd, go, "qkv"):
+            check(f"flash_dropout{tag} d{nm}", a, b_, 2e-3)
+
+    flash_dropout_oracle_suite("", 128, {})
+    flash_dropout_oracle_suite(" (tiled)", 256,
+                               {"block_q": 128, "block_k": 128})
 
     # ---- fused residual LN -------------------------------------------- #
     x = jnp.asarray(rng.randn(2048, 768), jnp.float32)
@@ -215,18 +253,9 @@ def main() -> int:
         gr = jax.grad(floss(ffn_oracle), argnums=(0, 1, 3))(
             xf, w1, fb1, w2, fb2)
     for a, b_, nm in zip(gf, gr, ("dx", "dw1", "dw2")):
-        a32 = np.asarray(a, np.float32)
-        b32 = np.asarray(b_, np.float32)
-        rel = float(np.abs(a32 - b32).max() / max(np.abs(b32).max(), 1e-9))
-        ok_g = rel < 0.05
-        print(f"{'PASS' if ok_g else 'FAIL'}  fused_ffn {nm} (bf16): "
-              f"rel max diff {rel:.2e} (< 0.05)")
-        if not ok_g:
-            failures.append(f"fused_ffn {nm}")
+        check_rel(f"fused_ffn {nm} (bf16)", a, b_, 0.05)
 
-    # dropout: determinism, key variation, grad finiteness (the exact
-    # keep-mask mechanism is oracle-validated in the flash section —
-    # same _keep_mask helper)
+    # dropout: determinism, key variation, grad finiteness
     ffn_drop = jax.jit(functools.partial(
         fused_ffn_block, dropout_rate=0.3))
     d1 = ffn_drop(xf, w1, fb1, w2, fb2, fls, flb,
@@ -241,20 +270,117 @@ def main() -> int:
     ok_dv = varies and changes
     print(f"{'PASS' if ok_dv else 'FAIL'}  fused_ffn dropout varies by "
           f"key and differs from no-drop")
-    if not ok_dv:
-        failures.append("fused_ffn dropout variation")
+    record("fused_ffn dropout variation", ok_dv, float(varies and changes))
     gd_ = jax.jit(jax.grad(floss(
         lambda x_, a_, c_: fused_ffn_block(
             x_, a_, fb1, c_, fb2, fls, flb, dropout_rate=0.3,
             dropout_rng=jax.random.PRNGKey(5)))))(xb, w1b, w2b)
     ok_fin = bool(np.all(np.isfinite(np.asarray(gd_, np.float32))))
     print(f"{'PASS' if ok_fin else 'FAIL'}  fused_ffn dropout grads finite")
-    if not ok_fin:
-        failures.append("fused_ffn dropout grads")
+    record("fused_ffn dropout grads finite", ok_fin, float(ok_fin))
+
+    # ---- fused FFN fwd/bwd dropout-mask consistency oracle ------------- #
+    # The advisor's round-2 high finding: fwd ran 128-row blocks, bwd
+    # 64-row blocks, and the block-keyed mask ids silently decorrelated
+    # the fwd/bwd dropout masks.  This oracle would have caught it:
+    # 1) extract the BACKWARD's regenerated masks from `_bwd_call`'s raw
+    #    tile outputs under degenerate weights (w1=0, b1=c makes
+    #    gd = mask1 * gelu(c)/keep; random dy makes dy2 = mask2 * ds),
+    # 2) build an XLA oracle from those masks,
+    # 3) the kernel's FORWARD output and custom-VJP gradients must match
+    #    it — impossible unless the forward draws the same masks.
+    # Production dtype bf16 throughout (blocking, and hence mask ids,
+    # are dtype-dependent; the f32 backward does not fit on-chip).
+    from nbest_asr_tpu.ops.fused_ffn import _bwd_call, _fwd_call
+    from nbest_asr_tpu.ops.layers import dense  # noqa: F401 (parity)
+
+    rate_f = 0.3
+    key_f = jax.random.PRNGKey(11)
+    seed_f = jax.random.bits(key_f, (1,), "uint32").astype(jnp.int32)
+    nf2 = 384        # 3 fwd blocks of 128 = 6 bwd blocks of 64
+    xfb = jnp.asarray(rng.randn(nf2, hf) * 0.5, jnp.bfloat16)
+    zero_w1 = jnp.zeros((hf, itf), jnp.bfloat16)
+    const_b1 = jnp.full((itf,), 4.0, jnp.float32)
+    zero_w2 = jnp.zeros((itf, hf), jnp.bfloat16)
+    ones_ls = jnp.ones((hf,), jnp.float32)
+    zeros_h = jnp.zeros((hf,), jnp.float32)
+
+    _, y2d0, mean0, rstd0 = jax.jit(functools.partial(
+        _fwd_call, rate=rate_f, eps=1e-12))(
+        xfb, zero_w1, const_b1, zero_w2, zeros_h, ones_ls, zeros_h,
+        seed_f)
+    dy_rand = jnp.asarray(rng.randn(nf2, hf), jnp.bfloat16)
+    _, _, gd_t, dy2_t, _ = jax.jit(functools.partial(
+        _bwd_call, rate=rate_f))(
+        xfb, zero_w1, const_b1, zero_w2, ones_ls, seed_f,
+        mean0, rstd0, y2d0, dy_rand)
+    mask1 = jnp.asarray(np.asarray(gd_t, np.float32) != 0.0, jnp.float32)
+    mask2 = jnp.asarray(np.asarray(dy2_t, np.float32) != 0.0, jnp.float32)
+    for nm, mk in (("mask1", mask1), ("mask2", mask2)):
+        frac = 1.0 - float(np.asarray(mk).mean())
+        ok_fr = abs(frac - rate_f) < 0.01
+        print(f"{'PASS' if ok_fr else 'FAIL'}  fused_ffn {nm} drop "
+              f"fraction: {frac:.4f} (want {rate_f} ± 0.01)")
+        record(f"fused_ffn {nm} drop fraction", ok_fr, frac)
+
+    inv_keep_f = 1.0 / (1.0 - rate_f)
+
+    def ffn_mask_oracle(x_, w1_, w2_):
+        # mirrors the kernel's cast points with the extracted masks
+        f32 = jnp.float32
+        h32 = jnp.dot(x_, w1_, preferred_element_type=f32) + fb1
+        h = h32.astype(jnp.bfloat16)
+        g32 = gelu(h.astype(f32))
+        gdd = (mask1 * g32 * inv_keep_f).astype(jnp.bfloat16)
+        y2_32 = jnp.dot(gdd, w2_, preferred_element_type=f32) + fb2
+        y2 = y2_32.astype(jnp.bfloat16).astype(f32)
+        y2 = mask2 * y2 * inv_keep_f
+        return layer_norm(y2 + x_.astype(f32), fls, flb, 1e-12)
+
+    w1r = (jnp.asarray(rng.randn(hf, itf) * 0.05)).astype(jnp.bfloat16)
+    w2r = (jnp.asarray(rng.randn(itf, hf) * 0.05)).astype(jnp.bfloat16)
+    got_m = jax.jit(lambda x_, a_, c_: fused_ffn_block(
+        x_, a_, fb1, c_, fb2, fls, flb, dropout_rate=rate_f,
+        dropout_rng=key_f))(xfb, w1r, w2r)
+    want_m = ffn_mask_oracle(xfb, w1r, w2r)
+    check_rel("fused_ffn dropout fwd vs extracted-mask oracle",
+              got_m, want_m, 0.02)
+
+    gm = jax.jit(jax.grad(floss(
+        lambda x_, a_, c_: fused_ffn_block(
+            x_, a_, fb1, c_, fb2, fls, flb, dropout_rate=rate_f,
+            dropout_rng=key_f)), argnums=(0, 1, 2)))(xfb, w1r, w2r)
+    go_m = jax.grad(floss(ffn_mask_oracle), argnums=(0, 1, 2))(
+        xfb, w1r, w2r)
+    for a, b_, nm in zip(gm, go_m, ("dx", "dw1", "dw2")):
+        check_rel(f"fused_ffn dropout {nm} vs extracted-mask oracle",
+                  a, b_, 0.05)
 
     print("ALL PASS" if not failures else f"FAILURES: {failures}")
+    if record_path:
+        payload = {
+            "skipped": False,
+            "platform": jax.devices()[0].platform,
+            "device": str(jax.devices()[0]),
+            "elapsed_s": round(time.time() - t0, 1),
+            "all_pass": not failures,
+            "n_checks": len(RESULTS),
+            "failures": failures,
+            "checks": RESULTS,
+        }
+        with open(record_path, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(f"wrote {record_path}")
     return 1 if failures else 0
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--record", nargs="?", const="TPUCHECK.json",
+                    default=None, metavar="PATH",
+                    help="write machine-readable results JSON "
+                         "(default TPUCHECK.json)")
+    ns = ap.parse_args()
+    raise SystemExit(main(ns.record))
