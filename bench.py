@@ -116,7 +116,8 @@ def main() -> None:
         vocab_size=30522, compute_dtype="bfloat16",
         hidden_dropout=opt.bert_dropout, attn_dropout=opt.bert_dropout,
         use_flash_attention=resolve_flash(None),
-        use_fused_ffn=resolve_flash(None))
+        use_fused_ffn=resolve_flash(None),
+        use_fused_attn=resolve_flash(None))
     cfg = ModelConfig(encoder=enc, n_top=memory.n_top,
                       n_bottom=memory.n_bottom)
     # init on the CPU backend: dozens of tiny init compiles would each

@@ -90,6 +90,10 @@ class RunOptions:
     use_fused_ffn: "bool | None" = None   # None = auto: the Pallas FFN
     # megakernel (ops/fused_ffn.py) on TPU backends — ~4% faster steps
     # at every DSTC2 bucket with both FFN weights VMEM-resident
+    use_fused_attn: "bool | None" = None  # None = auto: the Pallas
+    # attention-block megakernel (ops/fused_attention.py) on TPU —
+    # QKV GEMM + attention + out-proj + dropout/residual/LN fused,
+    # training path, seq <= 512
     flash_min_seq: int = 160              # flash-attention routing
     # threshold (bucketed seq >= this trains on the Pallas kernel);
     # serialized into the exp dir when non-default, dumped with the rest
@@ -226,6 +230,13 @@ def parse_arguments(argv=None) -> RunOptions:
                    "— on for TPU)")
     p.add_argument("--no_fused_ffn", dest="use_fused_ffn",
                    action="store_false", help="force the XLA FFN path")
+    p.add_argument("--use_fused_attn", dest="use_fused_attn",
+                   action="store_true", default=None,
+                   help="force the Pallas attention-block megakernel "
+                   "(default: auto — on for TPU)")
+    p.add_argument("--no_fused_attn", dest="use_fused_attn",
+                   action="store_false",
+                   help="force the XLA attention path")
     p.add_argument("--flash_min_seq", type=int, default=d.flash_min_seq,
                    help="flash-attention routing threshold (bucketed "
                    "seq >= this trains on the Pallas kernel)")

@@ -66,6 +66,10 @@ class EncoderConfig:
     # + bias/GELU/dropout/residual/LN in one kernel each way
     # (ops/fused_ffn.py) — the whole-block fusion the piecewise kernels
     # above could not deliver
+    use_fused_attn: bool = False    # Pallas attention-block megakernel:
+    # QKV GEMM + per-head attention (softmax/dropout) + out-proj +
+    # bias/dropout/residual/LN in one kernel each way
+    # (ops/fused_attention.py); training path, seq <= 512
     remat: bool = False             # jax.checkpoint the layer scan body
     scan_unroll: int = 1            # lax.scan unroll factor for the
     # layer loop.  Measured on v5e at BERT-base: unroll=4 is ~35% SLOWER
@@ -213,24 +217,48 @@ def encoder_forward(params: dict, input_ids: jnp.ndarray,
         p = scanned
         lrng = jax.random.fold_in(rng, layer_idx)
 
-        qkv = qdense(x, p["qkv_kernel"], p["qkv_bias"])
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(b, s, nh, hd)
-        k = k.reshape(b, s, nh, hd)
-        v = v.reshape(b, s, nh, hd)
-        ctx = multi_head_attention(
-            q, k, v, attn_mask,
-            dropout_rate=cfg.attn_dropout,
-            dropout_rng=jax.random.fold_in(lrng, 1),
-            deterministic=deterministic,
-            use_flash=cfg.use_flash_attention,
-            flash_min_seq=cfg.flash_min_seq,
-        ).reshape(b, s, h)
-        ctx = qdense(ctx, p["attn_out_kernel"], p["attn_out_bias"])
-        if not deterministic:
-            ctx = dropout(ctx, cfg.hidden_dropout,
-                          jax.random.fold_in(lrng, 2), deterministic)
-        x = res_ln(ctx, x, p["attn_ln_scale"], p["attn_ln_bias"])
+        # attention-block megakernel: training path only (deterministic
+        # eval has no backward to pay — XLA's fused attention is ~peak
+        # there), one-VMEM-block seqs, 128-lane hidden, 64-lane-sliceable
+        # heads (always true for the BERT family; tiny test configs fall
+        # back to XLA)
+        attn_kernel_ok = (cfg.use_fused_attn and not deterministic
+                          and cfg.hidden_size % 128 == 0
+                          and cfg.head_dim % 64 == 0
+                          and not isinstance(p["qkv_kernel"], dict))
+        if attn_kernel_ok:
+            from ..ops.fused_attention import FAB_MAX_SEQ
+            attn_kernel_ok = s <= FAB_MAX_SEQ
+        if attn_kernel_ok:
+            from ..ops.fused_attention import fused_attention_block
+
+            x = fused_attention_block(
+                x, p["qkv_kernel"].astype(cdt), p["qkv_bias"],
+                p["attn_out_kernel"].astype(cdt), p["attn_out_bias"],
+                p["attn_ln_scale"], p["attn_ln_bias"], attn_mask,
+                n_heads=nh, attn_dropout=cfg.attn_dropout,
+                hidden_dropout=cfg.hidden_dropout,
+                dropout_rng=jax.random.fold_in(lrng, 1),
+                eps=cfg.layer_norm_eps)
+        else:
+            qkv = qdense(x, p["qkv_kernel"], p["qkv_bias"])
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(b, s, nh, hd)
+            k = k.reshape(b, s, nh, hd)
+            v = v.reshape(b, s, nh, hd)
+            ctx = multi_head_attention(
+                q, k, v, attn_mask,
+                dropout_rate=cfg.attn_dropout,
+                dropout_rng=jax.random.fold_in(lrng, 1),
+                deterministic=deterministic,
+                use_flash=cfg.use_flash_attention,
+                flash_min_seq=cfg.flash_min_seq,
+            ).reshape(b, s, h)
+            ctx = qdense(ctx, p["attn_out_kernel"], p["attn_out_bias"])
+            if not deterministic:
+                ctx = dropout(ctx, cfg.hidden_dropout,
+                              jax.random.fold_in(lrng, 2), deterministic)
+            x = res_ln(ctx, x, p["attn_ln_scale"], p["attn_ln_bias"])
 
         # lane guard: the megakernel needs 128-multiple dims (always true
         # for the BERT family; tiny test configs fall back to XLA)

@@ -640,6 +640,7 @@ def build_model(opt: RunOptions, memory: Memory, tokenizer):
         compute_dtype=opt.compute_dtype,
         use_flash_attention=resolve_flash(opt.use_flash_attention),
         use_fused_ffn=resolve_flash(opt.use_fused_ffn),
+        use_fused_attn=resolve_flash(opt.use_fused_attn),
         flash_min_seq=opt.flash_min_seq,
         remat=opt.remat)
 

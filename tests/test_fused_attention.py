@@ -1,0 +1,188 @@
+"""Fused attention-block megakernel vs the XLA oracle path —
+forward, all seven gradients, padding edges, encoder integration.
+Interpret mode (the dropout keep-mask mechanism itself is
+oracle-validated on-chip by tools/tpu_kernel_check.py: interpret-mode
+PRNG returns all zeros)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from nbest_asr_tpu.ops.attention import multi_head_attention
+from nbest_asr_tpu.ops.fused_attention import fused_attention_block
+from nbest_asr_tpu.ops.layers import dense, layer_norm
+
+
+def _params(rng, h, scale=0.05):
+    return dict(
+        wqkv=jnp.asarray(rng.randn(h, 3 * h) * scale, jnp.float32),
+        bqkv=jnp.asarray(rng.randn(3 * h) * 0.02, jnp.float32),
+        wo=jnp.asarray(rng.randn(h, h) * scale, jnp.float32),
+        bo=jnp.asarray(rng.randn(h) * 0.02, jnp.float32),
+        ls=jnp.asarray(1.0 + 0.1 * rng.randn(h), jnp.float32),
+        lb=jnp.asarray(0.1 * rng.randn(h), jnp.float32),
+    )
+
+
+def _oracle(x, p, mask, n_heads, eps=1e-12):
+    b, s, h = x.shape
+    d = h // n_heads
+    qkv = dense(x, p["wqkv"], p["bqkv"])
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    ctx = multi_head_attention(
+        q.reshape(b, s, n_heads, d), k.reshape(b, s, n_heads, d),
+        v.reshape(b, s, n_heads, d), mask,
+        deterministic=True).reshape(b, s, h)
+    ctx = dense(ctx, p["wo"], p["bo"])
+    return layer_norm(ctx + x, p["ls"], p["lb"], eps)
+
+
+@pytest.mark.parametrize("b,s,nh", [
+    (3, 20, 2),     # batch pad (block_b=4), q pad 20->32, kv pad ->128
+    (4, 16, 2),     # exact 16-row seq, block_b=8 -> b pad to 8
+    (2, 130, 2),    # s_p=144 (no block batching), kv pad ->256
+])
+def test_fwd_and_grads_vs_oracle(b, s, nh):
+    rng = np.random.RandomState(b * 100 + s)
+    h = 128
+    x = jnp.asarray(rng.randn(b, s, h) * 0.5, jnp.float32)
+    p = _params(rng, h)
+    mask = jnp.asarray(rng.rand(b, s) > 0.2, jnp.float32)
+    mask = mask.at[:, 0].set(1.0)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_attention_block(
+            x, p["wqkv"], p["bqkv"], p["wo"], p["bo"], p["ls"], p["lb"],
+            mask, n_heads=nh)
+    want = _oracle(x, p, mask, nh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5)
+
+    names = ["wqkv", "bqkv", "wo", "bo", "ls", "lb"]
+
+    def loss_k(x_, *ws):
+        pd = dict(zip(names, ws))
+        return jnp.sum(fused_attention_block(
+            x_, pd["wqkv"], pd["bqkv"], pd["wo"], pd["bo"], pd["ls"],
+            pd["lb"], mask, n_heads=nh) ** 2)
+
+    def loss_o(x_, *ws):
+        return jnp.sum(_oracle(x_, dict(zip(names, ws)), mask, nh) ** 2)
+
+    args = (x,) + tuple(p[n] for n in names)
+    with pltpu.force_tpu_interpret_mode():
+        gk = jax.grad(loss_k, argnums=tuple(range(7)))(*args)
+    go = jax.grad(loss_o, argnums=tuple(range(7)))(*args)
+    for a, b_, nm in zip(gk, go, ["dx"] + names):
+        rel = float(jnp.abs(a - b_).max() / (jnp.abs(b_).max() + 1e-9))
+        assert rel < 1e-4, (nm, rel)
+
+
+def test_mask_ids_are_blocking_invariant():
+    """Dropout-mask ids key on the ABSOLUTE batch element (elem*nh+i for
+    the attention stream, n_elems*nh+elem for the hidden stream), so the
+    forward and backward regenerate identical masks regardless of their
+    row blocking — the invariant whose violation the round-2 advisor
+    found in the fused FFN kernel.  Pure-python check of the id scheme:
+    ids depend only on (elem, head), never on block_b."""
+    nh, n_elems = 4, 8
+
+    def ids(block_b):
+        attn, hid = [], []
+        for pid in range(n_elems // block_b):
+            for e in range(block_b):
+                elem = pid * block_b + e
+                attn.append([elem * nh + i for i in range(nh)])
+                hid.append(n_elems * nh + elem)
+        return attn, hid
+
+    assert ids(1) == ids(2) == ids(4)
+    a, h_ = ids(2)
+    flat = [i for row in a for i in row] + h_
+    assert len(set(flat)) == len(flat)          # no stream collisions
+
+
+def test_dropout_rng_required():
+    x = jnp.zeros((2, 16, 128), jnp.float32)
+    p = _params(np.random.RandomState(0), 128)
+    mask = jnp.ones((2, 16), jnp.float32)
+    with pytest.raises(ValueError, match="requires dropout_rng"):
+        fused_attention_block(x, p["wqkv"], p["bqkv"], p["wo"], p["bo"],
+                              p["ls"], p["lb"], mask, n_heads=2,
+                              attn_dropout=0.1)
+
+
+def test_dropout_path_traces_and_is_finite():
+    """Interpret-mode PRNG is all zeros (every unit dropped), so only
+    shape/trace/finiteness are checkable here; numerics are pinned
+    on-chip by the extracted-mask oracle in tpu_kernel_check.py."""
+    rng = np.random.RandomState(7)
+    h, nh = 128, 2
+    x = jnp.asarray(rng.randn(2, 20, h) * 0.5, jnp.float32)
+    p = _params(rng, h)
+    mask = jnp.ones((2, 20), jnp.float32)
+    key = jax.random.PRNGKey(3)
+
+    def loss(x_):
+        return jnp.sum(fused_attention_block(
+            x_, p["wqkv"], p["bqkv"], p["wo"], p["bo"], p["ls"], p["lb"],
+            mask, n_heads=nh, attn_dropout=0.1, hidden_dropout=0.1,
+            dropout_rng=key) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        y, g = jax.value_and_grad(loss)(x)
+    assert np.isfinite(float(y))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_encoder_integration_matches_xla_path():
+    """use_fused_attn=True must reproduce the XLA encoder layer-for-layer
+    (dropout rates zeroed so the kernel path runs under training=False
+    determinism constraints lifted)."""
+    from nbest_asr_tpu.models.encoder import (EncoderConfig,
+                                              encoder_forward,
+                                              init_encoder_params)
+
+    cfg_kw = dict(vocab_size=97, hidden_size=128, num_layers=2,
+                  num_heads=2, intermediate_size=256, max_position=64,
+                  hidden_dropout=0.0, attn_dropout=0.0)
+    cfg_x = EncoderConfig(**cfg_kw)
+    cfg_k = EncoderConfig(use_fused_attn=True, **cfg_kw)
+    params = init_encoder_params(jax.random.PRNGKey(0), cfg_x)
+    rng = np.random.RandomState(0)
+    ids = jnp.asarray(rng.randint(0, 97, (3, 24)), jnp.int32)
+    mask = jnp.asarray(rng.rand(3, 24) > 0.2, jnp.float32)
+    mask = mask.at[:, 0].set(1.0)
+    key = jax.random.PRNGKey(1)
+
+    want = encoder_forward(params, ids, mask, None, cfg_x,
+                           deterministic=False, rng=key)
+    with pltpu.force_tpu_interpret_mode():
+        got = encoder_forward(params, ids, mask, None, cfg_k,
+                              deterministic=False, rng=key)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5)
+
+
+def test_seq_gate_falls_back_to_xla():
+    """seq > FAB_MAX_SEQ must route to the XLA path (the kernel is a
+    one-VMEM-block design)."""
+    from nbest_asr_tpu.models.encoder import (EncoderConfig,
+                                              encoder_forward,
+                                              init_encoder_params)
+    from nbest_asr_tpu.ops.fused_attention import FAB_MAX_SEQ
+
+    cfg = EncoderConfig(vocab_size=31, hidden_size=128, num_layers=1,
+                        num_heads=2, intermediate_size=256,
+                        max_position=FAB_MAX_SEQ + 64,
+                        hidden_dropout=0.0, attn_dropout=0.0,
+                        use_fused_attn=True)
+    ids = jnp.zeros((1, FAB_MAX_SEQ + 16), jnp.int32)
+    mask = jnp.ones(ids.shape, jnp.float32)
+    params = init_encoder_params(jax.random.PRNGKey(0), cfg)
+    # no interpret context: would crash if the Pallas path were taken
+    y = encoder_forward(params, ids, mask, None, cfg,
+                        deterministic=False, rng=jax.random.PRNGKey(1))
+    assert np.all(np.isfinite(np.asarray(y)))

@@ -75,6 +75,8 @@ def main():
     ap.add_argument("--flash_dropout", action="store_true")
     ap.add_argument("--remat", action="store_true",
                     help="jax.checkpoint the layer scan body (step/ablate)")
+    ap.add_argument("--fused_attn", action="store_true",
+                    help="attention-block megakernel in the step probe")
     ap.add_argument("--fused_ffn", action="store_true",
                     help="Pallas FFN megakernel in the step probe")
     ap.add_argument("--flash_step", action="store_true",
@@ -103,6 +105,7 @@ def main():
     enc = EncoderConfig(vocab_size=30522, compute_dtype="bfloat16",
                         use_flash_attention=args.flash_step,
                         use_fused_ffn=args.fused_ffn,
+                        use_fused_attn=args.fused_attn,
                         remat=args.remat)
     cfg = ModelConfig(encoder=enc, n_top=30, n_bottom=161)
     cpu = jax.devices("cpu")[0]

@@ -356,6 +356,204 @@ def main(record_path: "str | None" = None) -> int:
         check_rel(f"fused_ffn dropout {nm} vs extracted-mask oracle",
                   a, b_, 0.05)
 
+    # ---- fused attention-block megakernel ------------------------------ #
+    # Part 1: no-dropout numerics at the asymmetric-padding shape
+    # (s=96 -> q rows 96, kv lanes 128) vs the XLA oracle.
+    from nbest_asr_tpu.ops.attention import multi_head_attention
+    from nbest_asr_tpu.ops.fused_attention import (
+        _fab_bwd_call, _fab_fwd_call, fused_attention_block)
+
+    ha, nha, da = 768, 12, 64
+    ba, sa = 4, 96
+    xa = jnp.asarray(rng.randn(ba, sa, ha) * 0.5, jnp.float32)
+    wqkv = jnp.asarray(rng.randn(ha, 3 * ha) * 0.05, jnp.float32)
+    bqkv = jnp.asarray(rng.randn(3 * ha) * 0.02, jnp.float32)
+    wo_a = jnp.asarray(rng.randn(ha, ha) * 0.05, jnp.float32)
+    bo_a = jnp.asarray(rng.randn(ha) * 0.02, jnp.float32)
+    ls_a = jnp.asarray(1.0 + 0.1 * rng.randn(ha), jnp.float32)
+    lb_a = jnp.asarray(0.1 * rng.randn(ha), jnp.float32)
+    mk_a = jnp.asarray(rng.rand(ba, sa) > 0.2, jnp.float32)
+    mk_a = mk_a.at[:, 0].set(1.0)
+
+    def fab_oracle(x_, wq_, wo_):
+        qkv_ = x_ @ wq_ + bqkv
+        q_, k_, v_ = jnp.split(qkv_, 3, axis=-1)
+        ctx_ = multi_head_attention(
+            q_.reshape(ba, sa, nha, da), k_.reshape(ba, sa, nha, da),
+            v_.reshape(ba, sa, nha, da), mk_a,
+            deterministic=True).reshape(ba, sa, ha)
+        return layer_norm((ctx_ @ wo_ + bo_a) + x_, ls_a, lb_a)
+
+    with jax.default_matmul_precision("highest"):
+        want_a = fab_oracle(xa, wqkv, wo_a)
+    got_a = jax.jit(lambda x_: fused_attention_block(
+        x_, wqkv, bqkv, wo_a, bo_a, ls_a, lb_a, mk_a,
+        n_heads=nha))(xa)
+    check("fused_attn fwd (s=96 asym pad)", got_a, want_a, 1e-4)
+
+    xab = xa.astype(jnp.bfloat16)
+    wqb = wqkv.astype(jnp.bfloat16)
+    wob = wo_a.astype(jnp.bfloat16)
+    ga = jax.jit(jax.grad(
+        floss(lambda x_, a_, c_: fused_attention_block(
+            x_, a_, bqkv, c_, bo_a, ls_a, lb_a, mk_a, n_heads=nha)),
+        argnums=(0, 1, 2)))(xab, wqb, wob)
+    with jax.default_matmul_precision("highest"):
+        gao = jax.grad(floss(fab_oracle), argnums=(0, 1, 2))(
+            xa, wqkv, wo_a)
+    for a, b_, nm in zip(ga, gao, ("dx", "dwqkv", "dwo")):
+        check_rel(f"fused_attn {nm} (bf16)", a, b_, 0.05)
+
+    # Part 2: fwd/bwd dropout-mask consistency oracle (the same recipe
+    # as the fused-FFN check).  Degenerate weights make the BACKWARD's
+    # emitted tiles reveal the regenerated masks directly:
+    #   Wq = Wk = 0  -> uniform probs 1/s, so the emitted ctx tile is
+    #   p_dropped @ v; with Wv mapping x's first 64 columns and x = I64
+    #   per element, v = I -> ctx[e, :, i*d:(i+1)*d] = p_dropped, whose
+    #   zero pattern IS the attention keep-mask of (elem, head);
+    #   the emitted dout tile is hid_mask * ds with ds from a random dy.
+    # An XLA oracle built from those masks must then match the kernel's
+    # FORWARD and custom-VJP gradients with real random weights —
+    # impossible unless forward and backward draw identical masks.
+    rate_a = 0.3
+    key_a = jax.random.PRNGKey(13)
+    seed_a = jax.random.bits(key_a, (1,), "uint32").astype(jnp.int32)
+    sa2, block_b2 = 64, 2
+    b_pad2 = 4
+    eye_x = jnp.zeros((b_pad2, sa2, ha), jnp.bfloat16)
+    eye_x = eye_x.at[:, :, :sa2].set(jnp.eye(sa2, dtype=jnp.bfloat16))
+    x2_eye = eye_x.reshape(b_pad2 * sa2, ha)
+    wq_deg = jnp.zeros((ha, 3 * ha), jnp.bfloat16)
+    wv_eye = jnp.zeros((ha, da), jnp.bfloat16).at[:da, :].set(
+        jnp.eye(da, dtype=jnp.bfloat16))
+    for i_ in range(nha):
+        wq_deg = wq_deg.at[:, 2 * ha + i_ * da:2 * ha + (i_ + 1) * da
+                           ].set(wv_eye)
+    zeros_3h = jnp.zeros((3 * ha,), jnp.float32)
+    ones_h = jnp.ones((ha,), jnp.float32)
+    zeros_ha = jnp.zeros((ha,), jnp.float32)
+    mask_full = jnp.ones((b_pad2, sa2), jnp.float32)[:, None, :]
+
+    wo_eye = jnp.eye(ha, dtype=jnp.bfloat16)
+    # Run F1 (fwd, both dropouts): with wo=I the saved od tile is
+    # hid_mask ⊙ ctx/keep and ctx[r, i*d+c] = p_dropped[r, c] (uniform
+    # probs, v=I), so od's zero pattern is the COMBINED attn∧hid mask.
+    yC, odC, mean_a, rstd_a = jax.jit(functools.partial(
+        _fab_fwd_call, n_heads=nha, attn_rate=rate_a, hid_rate=rate_a,
+        eps=1e-12, block_b=block_b2, s_p=sa2))(
+        x2_eye, wq_deg, zeros_3h, wo_eye,
+        zeros_ha, ones_h, zeros_ha, mask_full, seed_a)
+    # Run F2 (fwd, hid only): od = hid_mask ⊙ (1/s)/keep everywhere —
+    # deterministic nonzero values, so the extraction cannot be fooled
+    # by coincidental bf16 cancellation (extracting from the backward's
+    # dout = hid_mask ⊙ ds was: a random-dy ds entry rounding to bf16
+    # zero flips a bit ~1 in 2e5 and fails the fwd oracle at one entry)
+    _, odH, _, _ = jax.jit(functools.partial(
+        _fab_fwd_call, n_heads=nha, attn_rate=0.0, hid_rate=rate_a,
+        eps=1e-12, block_b=block_b2, s_p=sa2))(
+        x2_eye, wq_deg, zeros_3h, wo_eye,
+        zeros_ha, ones_h, zeros_ha, mask_full, seed_a)
+    # Run B (bwd, both): the emitted ctx tile is p_dropped per head —
+    # the BACKWARD's regenerated attention masks, exact 0.0223 values.
+    dy_a = jnp.asarray(rng.randn(b_pad2 * sa2, ha), jnp.bfloat16)
+    _, _, ctx_t, dout_t, _ = jax.jit(functools.partial(
+        _fab_bwd_call, n_heads=nha, attn_rate=rate_a, hid_rate=rate_a,
+        block_b=block_b2, s_p=sa2))(
+        x2_eye, wq_deg, zeros_3h, wo_eye,
+        ones_h, mask_full, seed_a, mean_a, rstd_a, odC, dy_a)
+
+    ctx_np = np.asarray(ctx_t, np.float32).reshape(b_pad2, sa2, ha)
+    attn_keep = np.stack(
+        [np.stack([ctx_np[e, :, i_ * da:(i_ + 1) * da] != 0.0
+                   for i_ in range(nha)]) for e in range(b_pad2)])
+    hid_keep = (np.asarray(odH, np.float32) != 0.0).reshape(
+        b_pad2, sa2, ha)
+    fr_a = 1.0 - float(attn_keep.mean())
+    fr_h = 1.0 - float(hid_keep.mean())
+    for nm, fr in (("attn", fr_a), ("hidden", fr_h)):
+        ok_fr = abs(fr - rate_a) < 0.01
+        print(f"{'PASS' if ok_fr else 'FAIL'}  fused_attn {nm} drop "
+              f"fraction: {fr:.4f} (want {rate_a} ± 0.01)")
+        record(f"fused_attn {nm} drop fraction", ok_fr, fr)
+
+    # the direct fwd/bwd consistency statement: the FORWARD's combined
+    # zero pattern must equal hid(F2-fwd) ∧ attn(B-bwd) elementwise —
+    # any fwd/bwd mask decorrelation shows up as a nonzero count here
+    attn_flat = np.concatenate(
+        [np.concatenate([attn_keep[e, i_] for i_ in range(nha)],
+                        axis=1) for e in range(b_pad2)])
+    comb_fwd = np.asarray(odC, np.float32) != 0.0
+    n_mismatch = int((comb_fwd != (attn_flat
+                                   & hid_keep.reshape(-1, ha))).sum())
+    ok_cons = n_mismatch == 0
+    print(f"{'PASS' if ok_cons else 'FAIL'}  fused_attn fwd/bwd mask "
+          f"consistency: {n_mismatch} mismatched bits")
+    record("fused_attn fwd/bwd mask consistency", ok_cons, n_mismatch)
+
+    attn_keep_j = jnp.asarray(attn_keep, jnp.float32)  # (b, nh, s, s)
+    hid_keep_j = jnp.asarray(hid_keep, jnp.float32)    # (b, s, h)
+    inv_a = 1.0 / (1.0 - rate_a)
+    xr = jnp.asarray(rng.randn(b_pad2, sa2, ha) * 0.5, jnp.bfloat16)
+    wqr = jnp.asarray(rng.randn(ha, 3 * ha) * 0.05, jnp.bfloat16)
+    wor = jnp.asarray(rng.randn(ha, ha) * 0.05, jnp.bfloat16)
+
+    def fab_mask_oracle(x_, wq_, wo_):
+        f32 = jnp.float32
+        bf = jnp.bfloat16
+        qkv_ = (jnp.einsum("bsk,km->bsm", x_, wq_,
+                           preferred_element_type=f32)
+                + bqkv.astype(f32)).astype(bf)
+        q_, k_, v_ = jnp.split(qkv_, 3, axis=-1)
+        q_ = q_.reshape(b_pad2, sa2, nha, da)
+        k_ = k_.reshape(b_pad2, sa2, nha, da)
+        v_ = v_.reshape(b_pad2, sa2, nha, da)
+        lg = jnp.einsum("bqhd,bkhd->bhqk", q_, k_,
+                        preferred_element_type=f32) / (da ** 0.5)
+        p_ = jax.nn.softmax(lg, axis=-1)
+        p_ = attn_keep_j * p_ * inv_a
+        ctx_ = jnp.einsum("bhqk,bkhd->bqhd", p_.astype(bf), v_,
+                          preferred_element_type=f32).astype(bf)
+        ctx_ = ctx_.reshape(b_pad2, sa2, ha)
+        out_ = (jnp.einsum("bsk,km->bsm", ctx_, wo_,
+                           preferred_element_type=f32)
+                + bo_a.astype(f32)).astype(bf).astype(f32)
+        out_ = hid_keep_j * out_ * inv_a
+        return layer_norm(out_ + x_.astype(f32), ls_a, lb_a, 1e-12)
+
+    mk_ones = jnp.ones((b_pad2, sa2), jnp.float32)
+    got_dm = jax.jit(lambda x_, a_, c_: fused_attention_block(
+        x_, a_, bqkv, c_, bo_a, ls_a, lb_a, mk_ones, n_heads=nha,
+        attn_dropout=rate_a, hidden_dropout=rate_a,
+        dropout_rng=key_a))(xr, wqr, wor)
+    want_dm = fab_mask_oracle(xr, wqr, wor)
+    check_rel("fused_attn dropout fwd vs extracted-mask oracle",
+              got_dm, want_dm, 0.02)
+
+    gm_a = jax.jit(jax.grad(floss(
+        lambda x_, a_, c_: fused_attention_block(
+            x_, a_, bqkv, c_, bo_a, ls_a, lb_a, mk_ones, n_heads=nha,
+            attn_dropout=rate_a, hidden_dropout=rate_a,
+            dropout_rng=key_a)), argnums=(0, 1, 2)))(xr, wqr, wor)
+    go_a = jax.grad(floss(fab_mask_oracle), argnums=(0, 1, 2))(
+        xr, wqr, wor)
+    for a, b_, nm in zip(gm_a, go_a, ("dx", "dwqkv", "dwo")):
+        check_rel(f"fused_attn dropout {nm} vs extracted-mask oracle",
+                  a, b_, 0.05)
+
+    # determinism + key variation through the public API
+    fab_drop = jax.jit(lambda k_: fused_attention_block(
+        xr, wqr, bqkv, wor, bo_a, ls_a, lb_a, mk_ones, n_heads=nha,
+        attn_dropout=rate_a, hidden_dropout=rate_a, dropout_rng=k_))
+    da1 = fab_drop(key_a)
+    da2 = fab_drop(key_a)
+    da3 = fab_drop(jax.random.PRNGKey(14))
+    check("fused_attn dropout determinism", da1, da2, 0.0)
+    ok_var = float(np.abs(np.asarray(da1, np.float32)
+                          - np.asarray(da3, np.float32)).max()) > 1e-3
+    print(f"{'PASS' if ok_var else 'FAIL'}  fused_attn dropout varies "
+          f"by key")
+    record("fused_attn dropout varies by key", ok_var, float(ok_var))
+
     print("ALL PASS" if not failures else f"FAILURES: {failures}")
     if record_path:
         payload = {
