@@ -341,8 +341,15 @@ class Trainer:
         n = len(packed)
         eval_b = opt.eval_batch or opt.micro_batch
 
+        # Dispatch every eval batch asynchronously and fetch O(buckets)
+        # times, not O(batches): the round-2 loop's per-batch
+        # `float(loss)` forced a blocking tunnel round-trip per batch
+        # (~28 ms RTT x ~56 batches x 2 splits ≈ 3 s/epoch of pure RTT
+        # on this environment — the `.item()`-per-step pattern SURVEY
+        # §3.1 exists to eliminate).  Loss scalars stay on device until
+        # one stacked fetch at epoch end.
         pred_mh = np.zeros((n, self.memory.n_bottom), dtype=bool)
-        loss_sum = 0.0
+        loss_parts = []
         for bucket in self.buckets[split]:
             nb = len(bucket)
             b_eval = eval_b
@@ -357,10 +364,11 @@ class Trainer:
                 out = self.eval_step(self.state.params, bucket.data,
                                      jnp.asarray(bidx))
                 bucket_preds.append(out["pred"])
-                loss_sum += float(out["loss"]["total"])
-            bp = np.concatenate(
-                [np.asarray(p) for p in bucket_preds])[:nb]
+                loss_parts.append(out["loss"]["total"])
+            bp = np.concatenate(jax.device_get(bucket_preds))[:nb]
             pred_mh[bucket.rows] = bp
+        loss_sum = float(np.sum(jax.device_get(loss_parts))) \
+            if loss_parts else 0.0
 
         (p, r, f), acc, pred_strings, golds = host_eval_metrics(
             pred_mh, packed.raw_labels, self.memory.idx2label,
