@@ -219,14 +219,18 @@ class Trainer:
             t_total = max(steps_per_epoch, 1) * opt.max_epoch
         else:
             t_total = (n_train // opt.batchSize + 1) * opt.max_epoch
-        # --fix_bert_model freezes the encoder: lr 0 for encoder leaves
+        # --fix_bert_model freezes the encoder at the optimizer level
+        # (grads+updates zeroed for encoder leaves — bit-identical in
+        # every optimizer mode, incl. plain adam's global lr + L2
+        # decay); bert_lr 0 kept as belt-and-braces for the
+        # per-leaf-lr modes
         bert_lr = 0.0 if opt.fix_bert_model else opt.bert_lr
         self.opt_cfg = OptimizerConfig(
             optim_choice=opt.optim_choice, lr=opt.lr, bert_lr=bert_lr,
             warmup_proportion=opt.warmup_proportion, t_total=t_total,
             max_grad_norm=1.0 if opt.optim_choice == "bertadam"
             else opt.max_norm,
-            l2=opt.l2)
+            l2=opt.l2, freeze_encoder=opt.fix_bert_model)
         self.optimizer = make_optimizer(self.opt_cfg, params)
 
         loss_cfg = LossConfig(add_l2_loss=opt.add_l2_loss)

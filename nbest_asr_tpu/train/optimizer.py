@@ -91,6 +91,14 @@ class OptimizerConfig:
     max_grad_norm: float = 1.0         # BertAdam per-tensor clip (ref :198)
     l2: float = 0.0                    # plain-adam L2 (reference --l2)
     fused: bool = False                # Pallas fused BertAdam update
+    freeze_encoder: bool = False       # --fix_bert_model: exclude
+    # encoder leaves from the optimizer entirely (optax.masked), the
+    # analog of the reference's requires_grad filtering
+    # (`n_best_asr_bert.py:536-538`; its --fix_bert_model flag itself is
+    # parsed but dead upstream — this rebuild makes it work).  Masking
+    # freezes in EVERY mode: bert_lr=0 alone would leave plain adam
+    # (one global lr, ref :554) and its L2 decay still moving encoder
+    # weights.
 
 
 def _path_str(path) -> str:
@@ -271,16 +279,44 @@ def _adamw(cfg: OptimizerConfig, params_template) -> optax.GradientTransformatio
 def make_optimizer(cfg: OptimizerConfig, params_template
                    ) -> optax.GradientTransformation:
     if cfg.optim_choice == "bertadam":
-        return bert_adam(cfg, params_template)
-    if cfg.optim_choice == "adam":
-        return _plain_adam(cfg)
-    if cfg.optim_choice == "adamw":
+        tx = bert_adam(cfg, params_template)
+    elif cfg.optim_choice == "adam":
+        tx = _plain_adam(cfg)
+    elif cfg.optim_choice == "adamw":
         if cfg.max_grad_norm > 0:
-            return optax.chain(
+            tx = optax.chain(
                 optax.clip_by_global_norm(cfg.max_grad_norm),
                 _adamw(cfg, params_template))
-        return _adamw(cfg, params_template)
-    raise ValueError(f"unknown optim_choice: {cfg.optim_choice}")
+        else:
+            tx = _adamw(cfg, params_template)
+    else:
+        raise ValueError(f"unknown optim_choice: {cfg.optim_choice}")
+    if cfg.freeze_encoder:
+        tx = _freeze_encoder_leaves(tx, params_template)
+    return tx
+
+
+def _freeze_encoder_leaves(tx: optax.GradientTransformation,
+                           params_template
+                           ) -> optax.GradientTransformation:
+    """Zero encoder grads before `tx` (momenta stay exactly zero, and
+    the non-bertadam global-norm clip sees only trainable grads, like
+    the reference's requires_grad-filtered parameter list) and zero the
+    resulting updates after it (kills decoupled/L2 weight-decay terms,
+    which move params even at zero grad).  `u * 0.0` is exact, so frozen
+    leaves are bit-identical after any number of steps.  (optax.masked
+    is unusable here: bert_adam/_adamw close over full-tree lr/wd maps
+    that mismatch its masked subtrees.)"""
+    mask = jax.tree_util.tree_map_with_path(
+        lambda p, x: 0.0 if is_encoder_leaf(p) else 1.0, params_template)
+
+    def update_fn(grads, state, params):
+        grads = jax.tree.map(lambda g, m: g * m, grads, mask)
+        updates, state = tx.update(grads, state, params)
+        updates = jax.tree.map(lambda u, m: u * m, updates, mask)
+        return updates, state
+
+    return optax.GradientTransformation(tx.init, update_fn)
 
 
 def global_norm_clip(max_norm: float) -> optax.GradientTransformation:

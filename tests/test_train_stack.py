@@ -349,3 +349,40 @@ def test_loss_gradients_finite_at_saturation(setup):
         jnp.asarray(probs_sat))
     for g, name in zip(grads, ("final", "top", "probs")):
         assert np.all(np.isfinite(np.asarray(g))), f"NaN/inf grad in {name}"
+
+
+def test_fix_bert_model_freezes_in_every_optimizer_mode():
+    """--fix_bert_model must mean BIT-IDENTICAL encoder leaves after
+    optimizer steps under bertadam, adam (whose global lr + --l2 L2
+    decay would otherwise still move them), and adamw — the analog of
+    the reference's requires_grad exclusion (`n_best_asr_bert.py:536`).
+    Head leaves must keep training."""
+    from nbest_asr_tpu.train.optimizer import make_optimizer
+
+    rng = np.random.RandomState(3)
+    params = {
+        "encoder": {"w": jnp.asarray(rng.randn(4, 4), jnp.float32),
+                    "ln_bias": jnp.asarray(rng.randn(4), jnp.float32)},
+        "head": {"top_kernel": jnp.asarray(rng.randn(4), jnp.float32)},
+    }
+    for mode, extra in (("bertadam", {}), ("adam", {"l2": 0.01}),
+                        ("adamw", {})):
+        cfg = OptimizerConfig(optim_choice=mode, lr=1e-2, bert_lr=0.0,
+                              warmup_proportion=0.1, t_total=10,
+                              freeze_encoder=True, **extra)
+        tx = make_optimizer(cfg, params)
+        state = tx.init(params)
+        cur = params
+        for _ in range(3):
+            grads = jax.tree.map(
+                lambda p: jnp.asarray(
+                    rng.randn(*p.shape), jnp.float32), cur)
+            updates, state = tx.update(grads, state, cur)
+            cur = jax.tree.map(lambda p, u: p + u, cur, updates)
+        for name, leaf in cur["encoder"].items():
+            np.testing.assert_array_equal(
+                np.asarray(leaf), np.asarray(params["encoder"][name]),
+                err_msg=f"{mode}: frozen encoder leaf {name} moved")
+        assert float(jnp.abs(cur["head"]["top_kernel"]
+                             - params["head"]["top_kernel"]).max()) > 0, \
+            f"{mode}: head did not train"
