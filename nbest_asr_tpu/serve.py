@@ -13,6 +13,7 @@ string or a word list.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import List, Sequence, Union
 
 import jax
@@ -115,7 +116,14 @@ class Predictor:
     def _pack(self, seqs):
         """Pack to the smallest serve bucket that fits (single-stream:
         dummy transcript/labels).  Uses the native in-memory packer when
-        built; Python packer otherwise."""
+        built; Python packer otherwise.
+
+        SINGLE tokenization pass: pack once at the natural width, then
+        pad the arrays up to the chosen bucket — identical output to
+        re-packing at the bucket width (ids pad with pad_id, mask/segs
+        with zeros, `_pad_to`), without paying host tokenization twice
+        on the serving hot path.  Only natural-width > max_len (forced
+        truncation) re-packs."""
         def do_pack(max_len):
             if self._native is not None:
                 return self._native.pack_lines(seqs, max_len=max_len)
@@ -130,8 +138,19 @@ class Predictor:
             if packed.max_len <= b:
                 target = b
                 break
-        if packed.max_len != target:
-            packed = do_pack(target)
+        if packed.max_len > target:     # needs truncation
+            return do_pack(target)
+        if packed.max_len < target:     # pad up to the bucket width
+            d = target - packed.input_ids.shape[1]
+            pad_id = self.tokenizer.pad_token_id
+            packed = dataclasses.replace(
+                packed,
+                input_ids=np.pad(packed.input_ids, ((0, 0), (0, d)),
+                                 constant_values=pad_id),
+                segment_ids=np.pad(packed.segment_ids,
+                                   ((0, 0), (0, d))),
+                attn_mask=np.pad(packed.attn_mask, ((0, 0), (0, d))),
+                max_len=target)
         return packed
 
     def _dispatch(self, utterances) -> "_PendingPrediction":
