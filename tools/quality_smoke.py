@@ -37,6 +37,12 @@ def main() -> int:
                     help="write the markdown summary here (default: "
                     "<out>/QUALITY.md; the repo-root QUALITY.md is "
                     "curated by hand from these runs)")
+    ap.add_argument("--coverage", type=float, default=None,
+                    help="pass --coverage to the CLI (the reference's "
+                    "sample-complexity protocol, README.md:64)")
+    ap.add_argument("--extra", default="",
+                    help="extra CLI args, space-separated (e.g. "
+                    "'--no_fused_ffn --no_fused_attn')")
     args = ap.parse_args()
 
     valid_path = os.path.join(REF_RAW, "valid")
@@ -80,7 +86,10 @@ def main() -> int:
         "--add_segment_ids",
         "--experiment", os.path.join(args.out, "exp"),
     ] + (["--token_budget", str(args.token_budget)]
-         if args.token_budget else []))
+         if args.token_budget else [])
+      + (["--coverage", str(args.coverage)]
+         if args.coverage is not None else [])
+      + (args.extra.split() if args.extra else []))
     wall = time.time() - t0
     if rc != 0:
         return rc

@@ -1,0 +1,115 @@
+"""Round-3 quality measurement protocol (VERDICT r2 next #2).
+
+Two claims need real statistics:
+
+1. **Shipping-default quality neutrality at n=10.**  Round 2 shipped
+   fused-FFN default-on on a 5-seed comparison with a 0.5-F1 mean gap in
+   the wrong direction — too thin.  This sweep runs seeds 999..1008 for
+   both arms: flash-only (`--no_fused_ffn --no_fused_attn`, the r2
+   quality-best config) and the full shipping defaults (fused attention
+   megakernel + fused FFN + flash).  Quality-neutral defaults or bust.
+
+2. **The reference's sample-complexity (coverage) protocol** — c in
+   {0.05, 0.10, 0.20, 0.50} (ref `README.md:64`,
+   `run/train_eval_N_Best_ASR_Transformer_STC.sh:46-52`) has an
+   implemented, unit-tested sampler but no measured counterpart.  The
+   sweep trains each point (3 seeds) on the stratified subset.
+
+Each run is a full from-scratch CLI training on the smoke split via
+tools/quality_smoke.py (subprocess per run: fresh jit caches, one TPU
+client at a time).  Appends one JSON line per run to --log as it goes,
+so a partial sweep is still usable evidence.
+
+Run: python tools/quality_sweep.py --log /tmp/qsweep/results.jsonl
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+ARMS = {
+    "flash_only": "--no_fused_ffn --no_fused_attn",
+    "shipping": "",
+}
+
+
+def run_one(out_dir, seed, extra, coverage, epochs, log_path):
+    cmd = [sys.executable, os.path.join(REPO, "tools/quality_smoke.py"),
+           "--epochs", str(epochs), "--token_budget", "8192",
+           "--seed", str(seed), "--out", out_dir]
+    if extra:
+        cmd += ["--extra", extra]
+    if coverage is not None:
+        cmd += ["--coverage", str(coverage)]
+    t0 = time.time()
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    wall = time.time() - t0
+    rec = {"seed": seed, "extra": extra, "coverage": coverage,
+           "wall_s": round(wall, 1), "rc": proc.returncode}
+    if proc.returncode == 0:
+        # best.json dict is the last stdout line
+        rec.update(json.loads(proc.stdout.strip().splitlines()[-1]))
+    else:
+        rec["stderr_tail"] = proc.stderr[-800:]
+    with open(log_path, "a") as fp:
+        fp.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), flush=True)
+    return proc.returncode
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--log", default="/tmp/qsweep/results.jsonl")
+    ap.add_argument("--epochs", type=int, default=40)
+    ap.add_argument("--seeds", default="999-1008")
+    ap.add_argument("--cov_seeds", default="999-1001")
+    ap.add_argument("--skip_arms", action="store_true")
+    ap.add_argument("--skip_coverage", action="store_true")
+    args = ap.parse_args()
+
+    os.makedirs(os.path.dirname(args.log), exist_ok=True)
+
+    def parse_range(s):
+        a, b = s.split("-")
+        return range(int(a), int(b) + 1)
+
+    done = set()
+    if os.path.exists(args.log):   # resumable
+        with open(args.log) as fp:
+            for line in fp:
+                r = json.loads(line)
+                if r.get("rc") == 0:
+                    done.add((r["seed"], r["extra"],
+                              r.get("coverage")))
+
+    work = []
+    if not args.skip_arms:
+        for name, extra in ARMS.items():
+            for seed in parse_range(args.seeds):
+                work.append((seed, extra, None))
+    if not args.skip_coverage:
+        for cov in (0.05, 0.10, 0.20, 0.50):
+            for seed in parse_range(args.cov_seeds):
+                work.append((seed, "", cov))
+
+    for i, (seed, extra, cov) in enumerate(work):
+        if (seed, extra, cov) in done:
+            print(f"[{i+1}/{len(work)}] skip (done)", flush=True)
+            continue
+        tag = f"s{seed}_{'ship' if not extra else 'flash'}" + (
+            f"_c{cov}" if cov is not None else "")
+        out_dir = os.path.join(os.path.dirname(args.log), tag)
+        print(f"[{i+1}/{len(work)}] {tag}", flush=True)
+        run_one(out_dir, seed, extra, cov, args.epochs, args.log)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
