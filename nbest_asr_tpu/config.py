@@ -115,6 +115,12 @@ class RunOptions:
     # 8, never below the parity micro-batch).  NOT reference-parity: the
     # effective optimizer batch varies per bucket; validated for quality
     # on the smoke split (QUALITY.md) before use
+    data_mode: str = "index"              # "index": whole split device-
+    # resident, steps gather by row index (single-controller, <= 1 host).
+    # "direct": each process owns a strided shard of the train split and
+    # global microbatches are assembled per step via
+    # jax.make_array_from_process_local_data — the multi-host path
+    # (docs/SCALING.md).  Single-process direct == index bit-exactly.
     checkpoint_every: int = 0             # extra periodic ckpt (epochs)
     resume: Optional[str] = None          # checkpoint dir to resume from
     profile_dir: Optional[str] = None     # jax.profiler trace of epoch 1
@@ -251,6 +257,10 @@ def parse_arguments(argv=None) -> RunOptions:
     p.add_argument("--eval_batch", type=int, default=None)
     p.add_argument("--steps_per_call", type=int, default=d.steps_per_call)
     p.add_argument("--token_budget", type=int, default=None)
+    p.add_argument("--data_mode", default=d.data_mode,
+                   choices=["index", "direct"],
+                   help="direct = multi-host per-process data sharding "
+                   "(docs/SCALING.md); index = single-controller default")
     p.add_argument("--checkpoint_every", type=int, default=0)
     p.add_argument("--resume", default=None)
     p.add_argument("--profile_dir", default=None)

@@ -24,27 +24,27 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from .mesh import dp_axes
 
 
-def microbatch_sharding(mesh, *, stacked: bool = True) -> NamedSharding:
-    """Sharding for direct-mode microbatch stacks: (n_accum, micro_b, ...)
-    with the batch (2nd) dim split over the data-parallel axes; the
-    accumulation axis is time, never sharded."""
+def microbatch_sharding(mesh, *, lead: int = 1) -> NamedSharding:
+    """Sharding for direct-mode microbatch stacks: ``lead`` leading
+    time-like axes (n_accum, or steps_per_call x n_accum for chained
+    steps) stay unsharded; the batch dim after them is split over the
+    data-parallel axes."""
     axes = dp_axes(mesh)
-    if stacked:
-        return NamedSharding(mesh, P(None, axes))
-    return NamedSharding(mesh, P(axes))
+    return NamedSharding(mesh, P(*([None] * lead), axes))
 
 
 def process_sharded_batch(mesh, local: Dict[str, np.ndarray],
-                          *, stacked: bool = True
+                          *, lead: int = 1
                           ) -> Dict[str, jax.Array]:
     """Assemble global microbatch arrays from per-process host shards.
 
     ``local``: this process's rows of each stream, shaped
-    (n_accum, local_b, ...) when ``stacked`` (local_b = global micro_b /
-    n_processes along the dp axes this process covers).  Returns global
-    jax.Arrays of shape (n_accum, global_b, ...) sharded over dcn+data.
+    (*lead_dims, local_b, ...) with ``lead`` leading time-like axes
+    (local_b = global micro_b / n_processes along the dp axes this
+    process covers).  Returns global jax.Arrays of shape
+    (*lead_dims, global_b, ...) sharded over dcn+data.
     """
-    sh = microbatch_sharding(mesh, stacked=stacked)
+    sh = microbatch_sharding(mesh, lead=lead)
     return {
         k: jax.make_array_from_process_local_data(
             NamedSharding(mesh, P(*sh.spec, *([None] * (v.ndim - len(

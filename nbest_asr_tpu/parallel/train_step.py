@@ -185,11 +185,22 @@ def make_train_step(cfg: ModelConfig, loss_cfg: LossConfig, optimizer,
         def train_step(state: TrainState, data, idx, rng):
             rngs = jax.random.split(rng, steps_per_call)
 
-            def body(st, xs):
-                step_idx, step_rng = xs
-                return single_step(st, data, step_idx, step_rng)
+            if data_mode == "index":
+                # the split is step-invariant; only indices advance
+                def body(st, xs):
+                    step_idx, step_rng = xs
+                    return single_step(st, data, step_idx, step_rng)
 
-            state, stats_seq = jax.lax.scan(body, state, (idx, rngs))
+                xs = (idx, rngs)
+            else:
+                # direct mode: the data stacks themselves carry a leading
+                # (steps_per_call,) axis — scan over them
+                def body(st, xs):
+                    step_data, step_rng = xs
+                    return single_step(st, step_data, idx, step_rng)
+
+                xs = (data, rngs)
+            state, stats_seq = jax.lax.scan(body, state, xs)
             stats = jax.tree.map(lambda x: jnp.sum(x, axis=0), stats_seq)
             return state, stats
 

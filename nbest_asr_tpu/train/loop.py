@@ -90,40 +90,19 @@ class _Bucket:
 
 def _make_buckets(data: Dict[str, np.ndarray], bucket_lens: List[int]
                   ) -> List[_Bucket]:
-    """Split host data into per-length buckets and device_put each bucket
-    once.  Row length = max over both streams' real lengths; each row goes
-    to the smallest bucket that fits.  The last bucket catches everything
-    longer and is widened to cover its longest row (rounded up to a
-    multiple of 8, capped at the packed max_len) — rows are NEVER
-    truncated, whatever bucket ladder the user passes."""
-    row_len = np.maximum(data["attn_mask"].sum(axis=1),
-                         data["trans_attn_mask"].sum(axis=1)).astype(
-                             np.int32)
-    max_len = data["input_ids"].shape[1]
+    """Split host data into per-length buckets (`data/bucketing.py` — the
+    same assignment the multi-host direct path recomputes per process) and
+    device_put each bucket once.  Rows are NEVER truncated, whatever
+    bucket ladder the user passes."""
+    from ..data.bucketing import (bucket_assignment, row_lengths,
+                                  slice_rows)
 
-    bucket_lens = sorted(bucket_lens)
+    max_len = int(data["input_ids"].shape[1])
     buckets: List[_Bucket] = []
-    assigned = np.zeros(row_len.shape[0], dtype=bool)
-    for i, blen in enumerate(bucket_lens):
-        blen = min(blen, max_len)
-        if i == len(bucket_lens) - 1:
-            sel = ~assigned
-            if sel.any():
-                longest = int(row_len[sel].max())
-                if longest > blen:  # widen, never truncate
-                    blen = min(-(-longest // 8) * 8, max_len)
-        else:
-            sel = (~assigned) & (row_len <= blen)
-        assigned |= sel
-        rows = np.nonzero(sel)[0]
-        if rows.size == 0:
-            continue
-        sub = {}
-        for k, v in data.items():
-            v_rows = v[rows]
-            if v.ndim == 2 and k != "labels":
-                v_rows = v_rows[:, :blen]
-            sub[k] = jnp.asarray(np.ascontiguousarray(v_rows))
+    for blen, rows in bucket_assignment(row_lengths(data), bucket_lens,
+                                        max_len):
+        sub = {k: jnp.asarray(v)
+               for k, v in slice_rows(data, rows, blen).items()}
         buckets.append(_Bucket(data=sub, rows=rows))
     return buckets
 
@@ -196,8 +175,17 @@ class Trainer:
         if opt.length_buckets:
             bucket_lens = sorted(
                 int(x) for x in opt.length_buckets.split(",") if x)
+        # data_mode="direct" (SURVEY.md §5.8): the train split is NOT made
+        # device-resident — each process owns a strided shard and global
+        # microbatches are assembled per step with
+        # jax.make_array_from_process_local_data.  Eval splits stay on the
+        # index path (small; every process holds them, exact host metrics).
+        self.direct_data = opt.data_mode == "direct"
+        self._shard = None
         self.buckets: Dict[str, List[_Bucket]] = {}
         for name, d in self.data.items():
+            if self.direct_data and name == "train":
+                continue
             if bucket_lens:
                 self.buckets[name] = _make_buckets(d, bucket_lens)
             else:
@@ -205,6 +193,13 @@ class Trainer:
                 self.buckets[name] = [_Bucket(
                     data={k: jnp.asarray(v) for k, v in d.items()},
                     rows=np.arange(n))]
+        if self.direct_data and "train" in self.data:
+            from ..parallel.process_data import ProcessTrainShard
+
+            self._shard = ProcessTrainShard(
+                self.data["train"], bucket_lens,
+                process_index=jax.process_index(),
+                process_count=jax.process_count())
 
         # optimizer schedule horizon: the reference formula
         # `(n_train // batchSize + 1) * max_epoch` (ref :556) in the parity
@@ -240,17 +235,19 @@ class Trainer:
         # (The reference runs it anyway, ref `models/model.py:50-58` — pure
         # waste; dropping it is math-identical and ~2x encoder FLOPs.)
         dual = bool(opt.add_l2_loss)
+        dm = "direct" if self.direct_data else "index"
         self.train_step = make_train_step(
             model_cfg, loss_cfg, self.optimizer, self.hier,
             n_accum=opt.n_accum_steps, mesh=self.mesh,
-            dual_stream=dual)
+            dual_stream=dual, data_mode=dm)
         self.steps_per_call = max(1, opt.steps_per_call)
         self.train_step_chain = None
         if self.steps_per_call > 1:
             self.train_step_chain = make_train_step(
                 model_cfg, loss_cfg, self.optimizer, self.hier,
                 n_accum=opt.n_accum_steps, mesh=self.mesh,
-                dual_stream=dual, steps_per_call=self.steps_per_call)
+                dual_stream=dual, steps_per_call=self.steps_per_call,
+                data_mode=dm)
         self.eval_step = make_eval_step(
             model_cfg, loss_cfg, self.hier, mesh=self.mesh,
             dual_stream=False)
@@ -280,6 +277,8 @@ class Trainer:
     # ------------------------------------------------------------------ #
 
     def run_train_epoch(self) -> EpochMetrics:
+        if self.direct_data:
+            return self._run_train_epoch_direct()
         opt = self.opt
         K = self.steps_per_call
         # per-bucket step plans (bucket-local indices): chains of K
@@ -316,20 +315,67 @@ class Trainer:
         stats = jax.device_get(stats_acc)
         return self._metrics_from_counts(stats, n_rows_total)
 
-    def _bucket_micro_batch(self, bucket: _Bucket) -> int:
-        """Micro-batch for one bucket: the parity batch by default; under
-        --token_budget, ~budget/bucket_len rounded to a multiple of 8
-        (never below the parity micro-batch)."""
+    def _run_train_epoch_direct(self) -> EpochMetrics:
+        """Multi-host train epoch: every process runs this same loop,
+        assembling its shard of each global microbatch on host and feeding
+        the direct-mode step.  Plan construction mirrors the index path
+        step for step (same RNG draws, same chain/single grouping, same
+        plan shuffle) so one process reproduces index mode bit-exactly
+        (`tests/test_direct_data.py`)."""
+        opt = self.opt
+        K = self.steps_per_call
+        from ..parallel.data_sharding import process_sharded_batch
+
+        plans = []  # ("chain"|"single", bucket_id, idx)
+        n_rows_total = 0
+        for bi, micro_b, idx in self._shard.epoch_plan(
+                self._shuffle_rng, self._micro_batch_for_len,
+                opt.n_accum_steps):
+            n_steps = idx.shape[0]
+            n_rows_total += n_steps * opt.n_accum_steps * micro_b
+            n_chains = n_steps // K if K > 1 else 0
+            for c in range(n_chains):
+                plans.append(("chain", bi, idx[c * K:(c + 1) * K]))
+            for s in range(n_chains * K, n_steps):
+                plans.append(("single", bi, idx[s]))
+        self._shuffle_rng.shuffle(plans)
+
+        dummy_idx = jnp.zeros((0,), jnp.int32)
+        stats_acc = None
+        for kind, bi, idx_s in plans:
+            self._rng, step_rng = jax.random.split(self._rng)
+            local = self._shard.local_batch(bi, idx_s)
+            micros = process_sharded_batch(self.mesh, local,
+                                           lead=idx_s.ndim - 1)
+            fn = self.train_step_chain if kind == "chain" else \
+                self.train_step
+            self.state, stats = fn(self.state, micros, dummy_idx,
+                                   step_rng)
+            stats_acc = stats if stats_acc is None else jax.tree.map(
+                jnp.add, stats_acc, stats)
+        stats = jax.device_get(stats_acc)
+        return self._metrics_from_counts(stats, n_rows_total)
+
+    def _micro_batch_for_len(self, blen: int) -> int:
+        """Micro-batch for one bucket length: the parity batch by default;
+        under --token_budget, ~budget/bucket_len rounded to a multiple of
+        8 (never below the parity micro-batch)."""
         opt = self.opt
         if not opt.token_budget:
             return opt.micro_batch
-        blen = int(bucket.data["input_ids"].shape[1])
         b = max(opt.micro_batch, (opt.token_budget // blen) // 8 * 8)
         return max(b, 1)
 
+    def _bucket_micro_batch(self, bucket: _Bucket) -> int:
+        return self._micro_batch_for_len(
+            int(bucket.data["input_ids"].shape[1]))
+
     def _train_steps_per_epoch(self) -> int:
         """Optimizer steps one train epoch will actually take (independent
-        of the shuffle: permutations change row order, not counts)."""
+        of the shuffle: permutations change row order, never counts)."""
+        if self._shard is not None:
+            return self._shard.steps_per_epoch(
+                self._micro_batch_for_len, self.opt.n_accum_steps)
         steps = 0
         for bucket in self.buckets.get("train", []):
             micro_b = self._bucket_micro_batch(bucket)
@@ -613,7 +659,7 @@ class Trainer:
         if os.path.exists(ckpt):
             self.load_checkpoint(ckpt)
         results = {}
-        for split in self.data:
+        for split in self.buckets:  # in direct mode train has no buckets
             t0 = time.time()
             m, _ = self.run_eval_epoch(
                 split, 0,
