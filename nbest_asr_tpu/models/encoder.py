@@ -222,14 +222,33 @@ def encoder_forward(params: dict, input_ids: jnp.ndarray,
         # there), one-VMEM-block seqs, 128-lane hidden, 64-lane-sliceable
         # heads (always true for the BERT family; tiny test configs fall
         # back to XLA)
+        attn_lanes_ok = (cfg.hidden_size % 128 == 0
+                         and cfg.head_dim % 64 == 0)
+        qkv_quantized = isinstance(p["qkv_kernel"], dict)
         attn_kernel_ok = (cfg.use_fused_attn and not deterministic
-                          and cfg.hidden_size % 128 == 0
-                          and cfg.head_dim % 64 == 0
-                          and not isinstance(p["qkv_kernel"], dict))
+                          and attn_lanes_ok and not qkv_quantized)
         if attn_kernel_ok:
             from ..ops.fused_attention import FAB_MAX_SEQ
             attn_kernel_ok = s <= FAB_MAX_SEQ
-        if attn_kernel_ok:
+        # int8 serving megakernel: deterministic forward with quantized
+        # leaves — quant chains + int8 dots fused on VMEM-resident tiles
+        # (ops/int8_serving.py; the XLA dense_int8 path pays two extra
+        # HBM passes per GEMM and measured slower than bf16)
+        int8_attn_ok = (cfg.use_fused_attn and deterministic
+                        and attn_lanes_ok and qkv_quantized)
+        if int8_attn_ok:
+            from ..ops.int8_serving import I8_MAX_SEQ
+            int8_attn_ok = s <= I8_MAX_SEQ
+        if int8_attn_ok:
+            from ..ops.int8_serving import int8_attention_block
+
+            x = int8_attention_block(
+                x, p["qkv_kernel"]["q"], p["qkv_kernel"]["scale"],
+                p["qkv_bias"], p["attn_out_kernel"]["q"],
+                p["attn_out_kernel"]["scale"], p["attn_out_bias"],
+                p["attn_ln_scale"], p["attn_ln_bias"], attn_mask,
+                n_heads=nh, eps=cfg.layer_norm_eps)
+        elif attn_kernel_ok:
             from ..ops.fused_attention import fused_attention_block
 
             x = fused_attention_block(
@@ -262,10 +281,21 @@ def encoder_forward(params: dict, input_ids: jnp.ndarray,
 
         # lane guard: the megakernel needs 128-multiple dims (always true
         # for the BERT family; tiny test configs fall back to XLA)
-        ffn_kernel_ok = (cfg.use_fused_ffn
-                         and cfg.hidden_size % 128 == 0
-                         and cfg.intermediate_size % 128 == 0)
-        if ffn_kernel_ok and not isinstance(p["ffn_in_kernel"], dict):
+        ffn_lanes_ok = (cfg.hidden_size % 128 == 0
+                        and cfg.intermediate_size % 128 == 0)
+        ffn_quantized = isinstance(p["ffn_in_kernel"], dict)
+        ffn_kernel_ok = cfg.use_fused_ffn and ffn_lanes_ok
+        if ffn_kernel_ok and deterministic and ffn_quantized:
+            from ..ops.int8_serving import int8_ffn_block
+
+            x = int8_ffn_block(
+                x, p["ffn_in_kernel"]["q"], p["ffn_in_kernel"]["scale"],
+                p["ffn_in_bias"], p["ffn_out_kernel"]["q"],
+                p["ffn_out_kernel"]["scale"], p["ffn_out_bias"],
+                p["ffn_ln_scale"], p["ffn_ln_bias"],
+                eps=cfg.layer_norm_eps)
+            return (x, layer_idx + 1), None
+        if ffn_kernel_ok and not ffn_quantized:
             from ..ops.fused_ffn import fused_ffn_block
 
             x = fused_ffn_block(

@@ -35,7 +35,12 @@ def main() -> int:
     ap.add_argument("--max_len", type=int, default=256)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--quantize", choices=["int8"], default=None,
-                    help="weight-only int8 encoder (ops/quant.py)")
+                    help="weight-only int8 encoder (ops/quant.py; with "
+                    "fused kernels on, routes the int8 serving "
+                    "megakernels of ops/int8_serving.py)")
+    ap.add_argument("--no_fused", action="store_true",
+                    help="force the XLA serving path (for int8: the "
+                    "round-2 dense_int8 path with unfused quant)")
     args = ap.parse_args()
 
     import jax
@@ -57,8 +62,13 @@ def main() -> int:
     tok = WordVocabTokenizer(memory)
     split = read_sep_data(os.path.join(REF_RAW, "valid"))
 
+    from nbest_asr_tpu.ops.attention import resolve_flash
+
+    fused = False if args.no_fused else resolve_flash(None)
     enc = EncoderConfig.bert_base(vocab_size=30522,
-                                  compute_dtype="bfloat16")
+                                  compute_dtype="bfloat16",
+                                  use_fused_attn=fused,
+                                  use_fused_ffn=fused)
     cfg = ModelConfig(encoder=enc, n_top=memory.n_top,
                       n_bottom=memory.n_bottom)
     with jax.default_device(jax.devices("cpu")[0]):

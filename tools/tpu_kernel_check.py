@@ -554,6 +554,67 @@ def main(record_path: "str | None" = None) -> int:
           f"by key")
     record("fused_attn dropout varies by key", ok_var, float(ok_var))
 
+    # ---- int8 serving megakernels (vs the XLA dense_int8 oracle) ----- #
+    from nbest_asr_tpu.ops.int8_serving import (int8_attention_block,
+                                                int8_ffn_block)
+    from nbest_asr_tpu.ops.layers import dense as _dense  # noqa: F401
+    from nbest_asr_tpu.ops.quant import dense_int8, quantize_weight
+
+    hq, iq, nhq = 768, 3072, 12
+    bq, sq = 8, 96
+    xi = jnp.asarray(rng.randn(bq, sq, hq) * 0.5, jnp.bfloat16)
+    mk_i = jnp.asarray((np.arange(sq)[None]
+                        < rng.randint(sq // 2, sq + 1, (bq,))[:, None])
+                       .astype(np.float32))
+    w1q, w1s = quantize_weight(jnp.asarray(rng.randn(hq, iq) * 0.05,
+                                           jnp.float32))
+    w2q, w2s = quantize_weight(jnp.asarray(rng.randn(iq, hq) * 0.05,
+                                           jnp.float32))
+    wqq, wqs = quantize_weight(jnp.asarray(rng.randn(hq, 3 * hq) * 0.05,
+                                           jnp.float32))
+    woq, wos = quantize_weight(jnp.asarray(rng.randn(hq, hq) * 0.05,
+                                           jnp.float32))
+    b1q = jnp.asarray(rng.randn(iq) * 0.1, jnp.float32)
+    b2q = jnp.asarray(rng.randn(hq) * 0.1, jnp.float32)
+    bqk = jnp.asarray(rng.randn(3 * hq) * 0.1, jnp.float32)
+    boq = jnp.asarray(rng.randn(hq) * 0.1, jnp.float32)
+    lsq = jnp.asarray(1.0 + 0.1 * rng.randn(hq), jnp.float32)
+    lbq = jnp.asarray(0.1 * rng.randn(hq), jnp.float32)
+
+    got_f = jax.jit(lambda x_: int8_ffn_block(
+        x_, w1q, w1s, b1q, w2q, w2s, b2q, lsq, lbq))(xi)
+
+    def i8_ffn_oracle(x_):
+        hh = dense_int8(x_, w1q, w1s, b1q)
+        gg = gelu(hh)
+        y2 = dense_int8(gg, w2q, w2s, b2q)
+        return layer_norm(x_ + y2, lsq, lbq)
+
+    want_f = jax.jit(i8_ffn_oracle)(xi)
+    check_rel("int8_ffn_block vs dense_int8 oracle", got_f, want_f,
+              0.02)
+
+    got_a = jax.jit(lambda x_: int8_attention_block(
+        x_, wqq, wqs, bqk, woq, wos, boq, lsq, lbq, mk_i,
+        n_heads=nhq))(xi)
+
+    def i8_attn_oracle(x_):
+        qkv = dense_int8(x_, wqq, wqs, bqk)
+        dh = hq // nhq
+        q_, k_, v_ = jnp.split(qkv, 3, axis=-1)
+        q_ = q_.reshape(bq, sq, nhq, dh)
+        k_ = k_.reshape(bq, sq, nhq, dh)
+        v_ = v_.reshape(bq, sq, nhq, dh)
+        ctx = multi_head_attention(q_, k_, v_, mk_i).reshape(bq, sq, hq)
+        out_ = dense_int8(ctx, woq, wos, boq)
+        return layer_norm(x_ + out_, lsq, lbq)
+
+    want_a = jax.jit(i8_attn_oracle)(xi)
+    mrows = np.asarray(mk_i).astype(bool)
+    check_rel("int8_attention_block vs dense_int8 oracle",
+              np.asarray(got_a, np.float32)[mrows],
+              np.asarray(want_a, np.float32)[mrows], 0.02)
+
     print("ALL PASS" if not failures else f"FAILURES: {failures}")
     if record_path:
         payload = {
