@@ -70,6 +70,12 @@ class EncoderConfig:
     # QKV GEMM + per-head attention (softmax/dropout) + out-proj +
     # bias/dropout/residual/LN in one kernel each way
     # (ops/fused_attention.py); training path, seq <= 512
+    use_fused_attn_eval: bool = False  # also route the DETERMINISTIC
+    # (eval/serving) bf16 forward through the attention megakernel
+    # (dropout rate 0).  Off by default pending measurement: XLA's
+    # dropout-free fused attention forward is near peak, so this must
+    # *earn* the default the way the int8 serving kernels did
+    # (serve_bench --fused_attn_eval probes it)
     remat: bool = False             # jax.checkpoint the layer scan body
     scan_unroll: int = 1            # lax.scan unroll factor for the
     # layer loop.  Measured on v5e at BERT-base: unroll=4 is ~35% SLOWER
@@ -225,8 +231,10 @@ def encoder_forward(params: dict, input_ids: jnp.ndarray,
         attn_lanes_ok = (cfg.hidden_size % 128 == 0
                          and cfg.head_dim % 64 == 0)
         qkv_quantized = isinstance(p["qkv_kernel"], dict)
-        attn_kernel_ok = (cfg.use_fused_attn and not deterministic
-                          and attn_lanes_ok and not qkv_quantized)
+        attn_kernel_ok = (cfg.use_fused_attn and attn_lanes_ok
+                          and not qkv_quantized
+                          and (not deterministic
+                               or cfg.use_fused_attn_eval))
         if attn_kernel_ok:
             from ..ops.fused_attention import FAB_MAX_SEQ
             attn_kernel_ok = s <= FAB_MAX_SEQ
@@ -255,8 +263,10 @@ def encoder_forward(params: dict, input_ids: jnp.ndarray,
                 x, p["qkv_kernel"].astype(cdt), p["qkv_bias"],
                 p["attn_out_kernel"].astype(cdt), p["attn_out_bias"],
                 p["attn_ln_scale"], p["attn_ln_bias"], attn_mask,
-                n_heads=nh, attn_dropout=cfg.attn_dropout,
-                hidden_dropout=cfg.hidden_dropout,
+                n_heads=nh,
+                attn_dropout=0.0 if deterministic else cfg.attn_dropout,
+                hidden_dropout=(0.0 if deterministic
+                                else cfg.hidden_dropout),
                 dropout_rng=jax.random.fold_in(lrng, 1),
                 eps=cfg.layer_norm_eps)
         else:

@@ -186,3 +186,40 @@ def test_seq_gate_falls_back_to_xla():
     y = encoder_forward(params, ids, mask, None, cfg,
                         deterministic=False, rng=jax.random.PRNGKey(1))
     assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_eval_routing_needs_opt_in_and_matches_xla():
+    """Deterministic forwards take the megakernel only under
+    use_fused_attn_eval (off by default), and when they do the dropout
+    rates are zeroed regardless of the config's training rates."""
+    from nbest_asr_tpu.models.encoder import (EncoderConfig,
+                                              encoder_forward,
+                                              init_encoder_params)
+
+    cfg_kw = dict(vocab_size=67, hidden_size=128, num_layers=2,
+                  num_heads=2, intermediate_size=256, max_position=64,
+                  hidden_dropout=0.1, attn_dropout=0.1)
+    cfg_x = EncoderConfig(**cfg_kw)
+    cfg_def = EncoderConfig(use_fused_attn=True, **cfg_kw)
+    cfg_ev = EncoderConfig(use_fused_attn=True, use_fused_attn_eval=True,
+                           **cfg_kw)
+    params = init_encoder_params(jax.random.PRNGKey(0), cfg_x)
+    rng = np.random.RandomState(3)
+    ids = jnp.asarray(rng.randint(0, 67, (2, 24)), jnp.int32)
+    mask = jnp.asarray(rng.rand(2, 24) > 0.2, jnp.float32)
+    mask = mask.at[:, 0].set(1.0)
+
+    want = encoder_forward(params, ids, mask, None, cfg_x,
+                           deterministic=True)
+    # default: eval stays on XLA — no interpret context needed (a Pallas
+    # route would crash on CPU)
+    got_def = encoder_forward(params, ids, mask, None, cfg_def,
+                              deterministic=True)
+    np.testing.assert_allclose(np.asarray(got_def), np.asarray(want),
+                               atol=1e-6)
+    # opted in: kernel path, rate-0 dropout, same numbers
+    with pltpu.force_tpu_interpret_mode():
+        got_ev = encoder_forward(params, ids, mask, None, cfg_ev,
+                                 deterministic=True)
+    np.testing.assert_allclose(np.asarray(got_ev), np.asarray(want),
+                               atol=2e-5)

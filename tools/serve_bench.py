@@ -41,6 +41,11 @@ def main() -> int:
     ap.add_argument("--no_fused", action="store_true",
                     help="force the XLA serving path (for int8: the "
                     "round-2 dense_int8 path with unfused quant)")
+    ap.add_argument("--fused_attn_eval", action="store_true",
+                    help="route the bf16 deterministic forward through "
+                    "the attention megakernel (rate-0 dropout) instead "
+                    "of XLA attention — measurement probe for the "
+                    "EncoderConfig.use_fused_attn_eval default")
     args = ap.parse_args()
 
     import jax
@@ -68,6 +73,7 @@ def main() -> int:
     enc = EncoderConfig.bert_base(vocab_size=30522,
                                   compute_dtype="bfloat16",
                                   use_fused_attn=fused,
+                                  use_fused_attn_eval=args.fused_attn_eval,
                                   use_fused_ffn=fused)
     cfg = ModelConfig(encoder=enc, n_top=memory.n_top,
                       n_bottom=memory.n_bottom)
