@@ -90,7 +90,6 @@ class OptimizerConfig:
     weight_decay: float = 0.01
     max_grad_norm: float = 1.0         # BertAdam per-tensor clip (ref :198)
     l2: float = 0.0                    # plain-adam L2 (reference --l2)
-    fused: bool = False                # Pallas fused BertAdam update
     freeze_encoder: bool = False       # --fix_bert_model: exclude
     # encoder leaves from the optimizer entirely (optax.masked), the
     # analog of the reference's requires_grad filtering

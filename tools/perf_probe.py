@@ -71,7 +71,6 @@ def main():
     ap.add_argument("--what", default="step,opt,attn")
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--seq", type=int, default=256)
-    ap.add_argument("--fused_adam", action="store_true")
     ap.add_argument("--flash_dropout", action="store_true")
     ap.add_argument("--remat", action="store_true",
                     help="jax.checkpoint the layer scan body (step/ablate)")
@@ -117,7 +116,7 @@ def main():
 
     opt_cfg = OptimizerConfig(optim_choice="bertadam", lr=5e-4,
                               bert_lr=3e-5, warmup_proportion=0.1,
-                              t_total=1000, fused=args.fused_adam)
+                              t_total=1000)
     optimizer = make_optimizer(opt_cfg, params)
 
     if "opt" in what:
@@ -133,8 +132,7 @@ def main():
 
         dt = run_scan(body, (params, opt_state), grads, n=20)
         traffic = n_params * 4 * 8  # g,m,v,p reads + m,v,p,u writes (f32)
-        print(f"[opt{' fused' if args.fused_adam else ''}]  "
-              f"BertAdam update+apply: {dt*1e3:.3f} ms   "
+        print(f"[opt]  BertAdam update+apply: {dt*1e3:.3f} ms   "
               f"(8-pass equivalent BW {traffic/dt/1e9:.0f} GB/s)")
 
     if "attn" in what:
