@@ -124,6 +124,16 @@ class RunOptions:
     checkpoint_every: int = 0             # extra periodic ckpt (epochs)
     resume: Optional[str] = None          # checkpoint dir to resume from
     profile_dir: Optional[str] = None     # jax.profiler trace of epoch 1
+    eval_artifacts: str = "full"          # "full": reference-parity
+    # per-epoch artifacts (valid/test.iterN[.err] dumps, observability
+    # CSVs + per-label classification reports — ref tod_asr_util.py:
+    # 202-223).  "none": skip them (metrics/logs/best.json unchanged) —
+    # for seed sweeps, where the per-epoch pandas/sklearn host work
+    # dominates wall time on small hosts
+    save_best: str = "ckpt"               # "ckpt": Orbax-checkpoint on
+    # every new best valid F1 (needed for --testing / resume-best).
+    # "none": track + log best without writing params — sweep runs that
+    # only consume best.json
 
     # ------------- resolved at setup ---------------------------------- #
     ontology: Optional[dict] = field(default=None, repr=False)
@@ -264,6 +274,16 @@ def parse_arguments(argv=None) -> RunOptions:
     p.add_argument("--checkpoint_every", type=int, default=0)
     p.add_argument("--resume", default=None)
     p.add_argument("--profile_dir", default=None)
+    p.add_argument("--eval_artifacts", default=d.eval_artifacts,
+                   choices=["full", "none"],
+                   help="'none' skips the per-epoch dumps/CSVs/"
+                   "per-label reports (metrics and best.json are "
+                   "unchanged) — for seed sweeps")
+    p.add_argument("--save_best", default=d.save_best,
+                   choices=["ckpt", "none"],
+                   help="'none' tracks/logs the best epoch without "
+                   "writing the Orbax checkpoint (--testing needs "
+                   "'ckpt')")
 
     args = p.parse_args(argv)
     opt = RunOptions(**vars(args))

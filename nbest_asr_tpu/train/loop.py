@@ -585,37 +585,48 @@ class Trainer:
                 (i, time.time() - t0, tr.mean_loss, tr.precision,
                  tr.recall, tr.f1, tr.acc))
 
+            # per-epoch artifact work (dumps + pandas/sklearn reports —
+            # reference parity, tod_asr_util.py:202-223) is host-side
+            # and can dominate sweep wall time on small hosts;
+            # --eval_artifacts none skips it without touching metrics
+            artifacts = opt.eval_artifacts != "none"
             t0 = time.time()
             vm, v_info = self.run_eval_epoch(
                 "valid", i,
-                dump_prefix=os.path.join(opt.exp_dir, f"valid.iter{i}"))
+                dump_prefix=os.path.join(opt.exp_dir, f"valid.iter{i}")
+                if artifacts else None)
             logger.info(
                 "[Valid]\tEpoch: %02d\tTime: %.2f\tLoss: %.2f\t"
                 "(p/r/f): (%.2f/%.2f/%.2f)\tAcc: %.2f" %
                 (i, time.time() - t0, vm.mean_loss, vm.precision,
                  vm.recall, vm.f1, vm.acc))
-            observability_lens(v_info, i, "valid", opt.exp_dir, csv_name)
+            if artifacts:
+                observability_lens(v_info, i, "valid", opt.exp_dir,
+                                   csv_name)
 
             tem = EpochMetrics(0, 0, 0, 0, 0)
             if has_test:
                 t0 = time.time()
                 tem, te_info = self.run_eval_epoch(
                     "test", i,
-                    dump_prefix=os.path.join(opt.exp_dir, f"test.iter{i}"))
+                    dump_prefix=os.path.join(opt.exp_dir, f"test.iter{i}")
+                    if artifacts else None)
                 logger.info(
                     "[Test]\tEpoch: %02d\tTime: %.2f\tLoss: %.2f\t"
                     "(p/r/f): (%.2f/%.2f/%.2f)\tAcc: %.2f" %
                     (i, time.time() - t0, tem.mean_loss, tem.precision,
                      tem.recall, tem.f1, tem.acc))
-                observability_lens(te_info, i, "test", opt.exp_dir,
-                                   csv_name)
+                if artifacts:
+                    observability_lens(te_info, i, "test", opt.exp_dir,
+                                       csv_name)
 
             if vm.f1 > best["vf"]:
                 best.update(epoch=i, vf=vm.f1, tef=tem.f1, v_acc=vm.acc,
                             te_acc=tem.acc)
-                self.save_checkpoint(
-                    os.path.join(opt.exp_dir, "model.ckpt"),
-                    epoch=i + 1, best=best)
+                if opt.save_best != "none":
+                    self.save_checkpoint(
+                        os.path.join(opt.exp_dir, "model.ckpt"),
+                        epoch=i + 1, best=best)
                 logger.info(
                     "NEW BEST:\tEpoch: %02d\tvalid F1/Acc: %.2f/%.2f\t"
                     "test F1/Acc: %.2f/%.2f" %

@@ -84,6 +84,10 @@ def main() -> int:
         "--compute_dtype", "bfloat16",
         "--length_buckets", "96,160,256",
         "--add_segment_ids",
+        # sweep runs only consume best.json: skip the per-epoch
+        # dump/CSV/report host work and the Orbax best-checkpoint
+        # writes (metrics identical; ~40% of wall on a 1-CPU host)
+        "--eval_artifacts", "none", "--save_best", "none",
         "--experiment", os.path.join(args.out, "exp"),
     ] + (["--token_budget", str(args.token_budget)]
          if args.token_budget else [])
