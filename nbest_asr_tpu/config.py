@@ -124,6 +124,10 @@ class RunOptions:
     checkpoint_every: int = 0             # extra periodic ckpt (epochs)
     resume: Optional[str] = None          # checkpoint dir to resume from
     profile_dir: Optional[str] = None     # jax.profiler trace of epoch 1
+    eval_every: int = 1                   # evaluate valid/test every N
+    # epochs (always on the final epoch).  The reference evaluates every
+    # epoch unconditionally (`n_best_asr_bert.py:408-424`); N>1 trades
+    # best-epoch granularity for wall time on long/small-data runs
     eval_artifacts: str = "full"          # "full": reference-parity
     # per-epoch artifacts (valid/test.iterN[.err] dumps, observability
     # CSVs + per-label classification reports — ref tod_asr_util.py:
@@ -274,6 +278,9 @@ def parse_arguments(argv=None) -> RunOptions:
     p.add_argument("--checkpoint_every", type=int, default=0)
     p.add_argument("--resume", default=None)
     p.add_argument("--profile_dir", default=None)
+    p.add_argument("--eval_every", type=int, default=d.eval_every,
+                   help="evaluate valid/test every N epochs (always on "
+                   "the final epoch); reference behavior is 1")
     p.add_argument("--eval_artifacts", default=d.eval_artifacts,
                    choices=["full", "none"],
                    help="'none' skips the per-epoch dumps/CSVs/"

@@ -585,6 +585,22 @@ class Trainer:
                 (i, time.time() - t0, tr.mean_loss, tr.precision,
                  tr.recall, tr.f1, tr.acc))
 
+            # --eval_every N: skip the valid/test evals on off-cycle
+            # epochs (always evaluate the last); best tracking then sees
+            # only evaluated epochs
+            if (opt.eval_every > 1 and (i + 1) % opt.eval_every
+                    and i != opt.max_epoch - 1):
+                if stop_after_epoch is not None and i >= stop_after_epoch:
+                    preempted["flag"] = True
+                if preempted["flag"]:
+                    path = os.path.join(opt.exp_dir, f"ckpt_epoch{i}")
+                    self.save_checkpoint(path, epoch=i + 1, best=best)
+                    logger.info(
+                        "SIGTERM: checkpointed to %s after epoch %02d; "
+                        "resume with --resume auto" % (path, i))
+                    break
+                continue
+
             # per-epoch artifact work (dumps + pandas/sklearn reports —
             # reference parity, tod_asr_util.py:202-223) is host-side
             # and can dominate sweep wall time on small hosts;

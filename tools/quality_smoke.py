@@ -40,6 +40,10 @@ def main() -> int:
     ap.add_argument("--coverage", type=float, default=None,
                     help="pass --coverage to the CLI (the reference's "
                     "sample-complexity protocol, README.md:64)")
+    ap.add_argument("--eval_every", type=int, default=1,
+                    help="pass --eval_every to the CLI (coverage sweeps "
+                    "use epochs~1/c with eval_every~1/c for a "
+                    "constant-step, constant-eval-count protocol)")
     ap.add_argument("--extra", default="",
                     help="extra CLI args, space-separated (e.g. "
                     "'--no_fused_ffn --no_fused_attn')")
@@ -93,6 +97,8 @@ def main() -> int:
          if args.token_budget else [])
       + (["--coverage", str(args.coverage)]
          if args.coverage is not None else [])
+      + (["--eval_every", str(args.eval_every)]
+         if args.eval_every != 1 else [])
       + (args.extra.split() if args.extra else []))
     wall = time.time() - t0
     if rc != 0:
