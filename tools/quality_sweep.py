@@ -41,8 +41,9 @@ ARMS = {
 
 
 def run_one(out_dir, seed, extra, coverage, epochs, log_path):
+    n_epochs = epochs
     cmd = [sys.executable, os.path.join(REPO, "tools/quality_smoke.py"),
-           "--epochs", str(epochs), "--token_budget", "8192",
+           "--token_budget", "8192",
            "--seed", str(seed), "--out", out_dir]
     if extra:
         cmd += ["--extra", extra]
@@ -57,9 +58,10 @@ def run_one(out_dir, seed, extra, coverage, epochs, log_path):
         # The paper's fixed-epoch protocol doesn't hit this because it
         # starts from pretrained bert-base.
         scale = max(1, round(1.0 / coverage))
-        cmd[2] = str(epochs * scale)
+        n_epochs = epochs * scale
         cmd += ["--coverage", str(coverage),
                 "--eval_every", str(scale)]
+    cmd += ["--epochs", str(n_epochs)]
     t0 = time.time()
     proc = subprocess.run(cmd, capture_output=True, text=True)
     wall = time.time() - t0
