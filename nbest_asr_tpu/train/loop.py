@@ -590,6 +590,11 @@ class Trainer:
             # only evaluated epochs
             if (opt.eval_every > 1 and (i + 1) % opt.eval_every
                     and i != opt.max_epoch - 1):
+                if opt.checkpoint_every and \
+                        (i + 1) % opt.checkpoint_every == 0:
+                    self.save_checkpoint(
+                        os.path.join(opt.exp_dir, f"ckpt_epoch{i}"),
+                        epoch=i + 1, best=best)
                 if stop_after_epoch is not None and i >= stop_after_epoch:
                     preempted["flag"] = True
                 if preempted["flag"]:

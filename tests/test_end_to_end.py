@@ -89,6 +89,28 @@ def test_full_train_driver_and_artifacts(small_setup, tmp_path):
         assert "valid" in results
 
 
+def test_lite_eval_and_eval_every(small_setup, tmp_path):
+    """--eval_artifacts none / --save_best none skip the per-epoch
+    artifact+checkpoint writes (metrics/log/best.json intact), and
+    --eval_every N evaluates only every Nth epoch plus the last."""
+    trainer, opt = _make_trainer(small_setup, tmp_path, max_epoch=4,
+                                 eval_artifacts="none", save_best="none",
+                                 eval_every=2)
+    best = trainer.train()
+    assert os.path.exists(os.path.join(opt.exp_dir, "best.json"))
+    assert not os.path.exists(os.path.join(opt.exp_dir, "valid.iter0"))
+    assert not os.path.exists(os.path.join(opt.exp_dir, "model.ckpt"))
+    assert not any(f.endswith(".csv") for f in os.listdir(opt.exp_dir))
+    log = open(os.path.join(opt.exp_dir, "log.train")).read()
+    import re
+    assert re.findall(r"\[Train\]\tEpoch: (\d+)", log) == \
+        ["00", "01", "02", "03"]
+    # epochs 1 and 3 evaluated (every 2nd, last always)
+    assert re.findall(r"\[Valid\]\tEpoch: (\d+)", log) == ["01", "03"]
+    # best tracked on evaluated epochs only
+    assert best["epoch"] in (1, 3)
+
+
 def test_checkpoint_roundtrip(small_setup, tmp_path):
     trainer, opt = _make_trainer(small_setup, tmp_path)
     trainer.run_train_epoch()
