@@ -102,6 +102,10 @@ def main() -> None:
         # per-bucket token-budget batching: quality-validated on the
         # smoke split (QUALITY.md — it *improves* F1 over fixed batch 32)
         token_budget=8192,
+        # chain K optimizer steps per compiled call (lax.scan over the
+        # step body, equality-tested vs single steps) — amortizes the
+        # per-dispatch host+tunnel cost; NBEST_BENCH_CHAIN overrides
+        steps_per_call=int(os.environ.get("NBEST_BENCH_CHAIN", "1")),
         experiment="/tmp/bench_exp")
     opt.exp_dir = "/tmp/bench_exp"
 
