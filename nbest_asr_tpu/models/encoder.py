@@ -181,6 +181,29 @@ def _embed(params: dict, input_ids: jnp.ndarray,
     return x.astype(cfg.cdtype)
 
 
+# VMEM residency budget for the megakernels' grid-constant weights.
+# v5e VMEM is ~16 MiB/core: BERT-base leaves head-room (fused FFN holds
+# 9.4 MiB of bf16 weights, validated on-chip) but larger families do
+# not — bert-large's FFN pair is 16.8 MiB bf16 and cannot be resident.
+# Route over-budget shapes to the XLA path instead of failing Mosaic
+# allocation at compile time (the reference accepts arbitrary HF BERT
+# checkpoints via --tod_pre_trained_model, so large dims are a
+# supported input, ref n_best_asr_bert.py:480-487).
+_KERNEL_VMEM_BUDGET = 12 * 2 ** 20
+
+
+def _attn_weight_bytes(cfg: "EncoderConfig", quantized: bool) -> int:
+    """Resident bytes of wqkv (h,3h) + wo (h,h) in the attention
+    megakernels (bf16, or int8 for the quantized serving kernel)."""
+    return 4 * cfg.hidden_size * cfg.hidden_size * (1 if quantized else 2)
+
+
+def _ffn_weight_bytes(cfg: "EncoderConfig", quantized: bool) -> int:
+    """Resident bytes of w1 (h,i) + w2 (i,h) in the FFN megakernels."""
+    return (2 * cfg.hidden_size * cfg.intermediate_size
+            * (1 if quantized else 2))
+
+
 def encoder_forward(params: dict, input_ids: jnp.ndarray,
                     attn_mask: jnp.ndarray,
                     token_type_ids: Optional[jnp.ndarray],
@@ -233,6 +256,8 @@ def encoder_forward(params: dict, input_ids: jnp.ndarray,
         qkv_quantized = isinstance(p["qkv_kernel"], dict)
         attn_kernel_ok = (cfg.use_fused_attn and attn_lanes_ok
                           and not qkv_quantized
+                          and _attn_weight_bytes(cfg, False)
+                          <= _KERNEL_VMEM_BUDGET
                           and (not deterministic
                                or cfg.use_fused_attn_eval))
         if attn_kernel_ok:
@@ -243,7 +268,9 @@ def encoder_forward(params: dict, input_ids: jnp.ndarray,
         # (ops/int8_serving.py; the XLA dense_int8 path pays two extra
         # HBM passes per GEMM and measured slower than bf16)
         int8_attn_ok = (cfg.use_fused_attn and deterministic
-                        and attn_lanes_ok and qkv_quantized)
+                        and attn_lanes_ok and qkv_quantized
+                        and _attn_weight_bytes(cfg, True)
+                        <= _KERNEL_VMEM_BUDGET)
         if int8_attn_ok:
             from ..ops.int8_serving import I8_MAX_SEQ
             int8_attn_ok = s <= I8_MAX_SEQ
@@ -294,7 +321,9 @@ def encoder_forward(params: dict, input_ids: jnp.ndarray,
         ffn_lanes_ok = (cfg.hidden_size % 128 == 0
                         and cfg.intermediate_size % 128 == 0)
         ffn_quantized = isinstance(p["ffn_in_kernel"], dict)
-        ffn_kernel_ok = cfg.use_fused_ffn and ffn_lanes_ok
+        ffn_kernel_ok = (cfg.use_fused_ffn and ffn_lanes_ok
+                         and _ffn_weight_bytes(cfg, ffn_quantized)
+                         <= _KERNEL_VMEM_BUDGET)
         if ffn_kernel_ok and deterministic and ffn_quantized:
             from ..ops.int8_serving import int8_ffn_block
 

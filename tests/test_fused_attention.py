@@ -4,6 +4,8 @@ Interpret mode (the dropout keep-mask mechanism itself is
 oracle-validated on-chip by tools/tpu_kernel_check.py: interpret-mode
 PRNG returns all zeros)."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -222,4 +224,54 @@ def test_eval_routing_needs_opt_in_and_matches_xla():
         got_ev = encoder_forward(params, ids, mask, None, cfg_ev,
                                  deterministic=True)
     np.testing.assert_allclose(np.asarray(got_ev), np.asarray(want),
+                               atol=2e-5)
+
+
+def test_vmem_budget_gate():
+    """Kernel routing refuses shapes whose resident weights exceed the
+    ~16 MiB/core VMEM (bert-large FFN pair = 16.8 MiB bf16) and falls
+    back to XLA instead of failing Mosaic allocation — the reference
+    accepts arbitrary HF BERT checkpoints (--tod_pre_trained_model), so
+    large dims are supported input."""
+    from nbest_asr_tpu.models.encoder import (_KERNEL_VMEM_BUDGET,
+                                              _attn_weight_bytes,
+                                              _ffn_weight_bytes,
+                                              EncoderConfig,
+                                              encoder_forward,
+                                              init_encoder_params)
+
+    base = EncoderConfig.bert_base(vocab_size=128)
+    large = EncoderConfig(vocab_size=128, hidden_size=1024,
+                          num_layers=1, num_heads=16,
+                          intermediate_size=4096, max_position=64,
+                          use_fused_attn=True, use_fused_ffn=True,
+                          hidden_dropout=0.1, attn_dropout=0.1)
+    # base fits (both kernels validated on-chip at these sizes)
+    assert _ffn_weight_bytes(base, False) <= _KERNEL_VMEM_BUDGET
+    assert _attn_weight_bytes(base, False) <= _KERNEL_VMEM_BUDGET
+    # bert-large FFN cannot hold both weights resident; int8 halves it
+    # back under budget; large attention (8.4 MiB) still fits
+    assert _ffn_weight_bytes(large, False) > _KERNEL_VMEM_BUDGET
+    assert _ffn_weight_bytes(large, True) <= _KERNEL_VMEM_BUDGET
+    assert _attn_weight_bytes(large, False) <= _KERNEL_VMEM_BUDGET
+
+    # the over-budget FFN must route to XLA: a training forward on CPU
+    # (no interpret context) would crash if the Pallas FFN were taken —
+    # attention stays kernel-routed, so run it in interpret mode and
+    # pin against the all-XLA oracle
+    params = init_encoder_params(jax.random.PRNGKey(0), large)
+    rng = np.random.RandomState(1)
+    ids = jnp.asarray(rng.randint(0, 128, (2, 16)), jnp.int32)
+    mask = jnp.ones((2, 16), jnp.float32)
+    xla_cfg = EncoderConfig(vocab_size=128, hidden_size=1024,
+                            num_layers=1, num_heads=16,
+                            intermediate_size=4096, max_position=64)
+    want = encoder_forward(params, ids, mask, None, xla_cfg,
+                           deterministic=True)
+    with pltpu.force_tpu_interpret_mode():
+        got = encoder_forward(params, ids, mask, None,
+                              dataclasses.replace(
+                                  large, use_fused_attn_eval=True),
+                              deterministic=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5)
