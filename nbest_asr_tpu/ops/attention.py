@@ -49,6 +49,30 @@ def effective_flash_min_seq(cfg_value=None) -> int:
 
 FLASH_MIN_SEQ = effective_flash_min_seq()
 
+# Above the single-block ceiling (SB_MAX_SEQ=512) the TILED flash
+# kernels measured SLOWER than XLA attention when XLA's materialized
+# (b, h, s, s) probs actually fit: at batch 8 x seq 1024 fwd+bwd with
+# dropout, XLA 3.47 ms vs tiled flash 5.45 ms (perf_probe --what attn
+# --seq 1024 --flash_dropout, v5e).  But flash remains the MEMORY path:
+# XLA's backward keeps probs + dropout mask + grads resident (~3x the
+# probs bytes) and OOMs the 16G chip at large batch x seq.  Routing
+# rule: tiled territory goes to XLA unless its attention residency
+# would crowd HBM (budget 2 GiB — bf16 probs x3; batch 64 x 1024 is
+# ~4.8 GiB -> flash).
+_XLA_ATTN_RESIDENCY_BUDGET = 2 * 2 ** 30
+
+
+def _flash_preferred(b: int, s: int, h: int) -> bool:
+    """Static routing predicate for the training flash path at (batch,
+    seq, heads).  Single-block territory (s <= 512): flash (measured
+    winner at seq >= flash_min_seq).  Tiled territory: XLA unless its
+    ~3x (b, h, s, s) bf16 backward residency exceeds the budget."""
+    from .flash_attention import SB_MAX_SEQ
+
+    if s <= SB_MAX_SEQ:
+        return True
+    return 3 * b * h * s * s * 2 > _XLA_ATTN_RESIDENCY_BUDGET
+
 
 def multi_head_attention(
     q: jnp.ndarray,                # (b, s, n_heads, d_head)
@@ -86,9 +110,16 @@ def multi_head_attention(
     runs at ~peak and has no backward to pay for.  Flash also remains the
     memory path: batch 64 x 256 trains under flash where XLA OOMs the
     16G chip.
+
+    Above the single-block ceiling (seq > 512) the tiled kernels
+    measured slower than XLA at shapes where XLA's probs residency
+    fits (batch 8 x 1024 w/ dropout: XLA 3.47 ms vs 5.45 fwd+bwd), so
+    tiled flash is taken only when that residency would crowd HBM —
+    see ``_flash_preferred``.
     """
     if (use_flash and not deterministic
-            and q.shape[1] >= effective_flash_min_seq(flash_min_seq)):
+            and q.shape[1] >= effective_flash_min_seq(flash_min_seq)
+            and _flash_preferred(*q.shape[:3])):
         from .flash_attention import flash_attention
 
         if dropout_rate > 0.0:

@@ -33,5 +33,8 @@ def get_exp_dir(opt) -> str:
     # names (full config always lands in exp_dir/config.json)
     if getattr(opt, "flash_min_seq", 160) != 160:
         parts.append(f"fms_{opt.flash_min_seq}")
+    if getattr(opt, "eval_every", 1) != 1:
+        # changes which epochs can be selected as best
+        parts.append(f"ee_{opt.eval_every}")
     return os.path.join(opt.experiment, f"data_{opt.dataset}",
                         "__".join(parts))
