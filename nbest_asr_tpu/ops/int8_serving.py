@@ -13,6 +13,14 @@ grid-constant VMEM residents (w1q+w2q = 4.7 MB, wqkvq+woq = 2.4 MB at
 BERT-base — a quarter of their bf16 size, fetched from HBM once per
 kernel launch).
 
+Measured regimes (v5e, batch 64, serve_bench): int8 wins synchronous
+latency (p50 ~57-61 ms vs ~67-75 bf16; sync-minus-tunnel device time
+~31 vs ~40 ms).  Async pipelined throughput on THIS 1-CPU host
+saturates at a shared ~37-38 ms/batch per-call host+tunnel floor for
+both configs (int8 at depth 4 converges to exactly bf16's number), so
+the device advantage is masked here — on a standard serving host the
+device time governs and int8 wins both regimes.
+
 Serving-only by design: forward kernels, no dropout, no VJP — the
 training path stays bf16 (quantization-aware training is out of scope;
 the reference has no serving story at all, SURVEY.md §2).  Math is

@@ -41,6 +41,9 @@ def main() -> int:
     ap.add_argument("--no_fused", action="store_true",
                     help="force the XLA serving path (for int8: the "
                     "round-2 dense_int8 path with unfused quant)")
+    ap.add_argument("--depth", type=int, default=2,
+                    help="async pipeline depth (in-flight predict_async "
+                    "handles)")
     ap.add_argument("--fused_attn_eval", action="store_true",
                     help="route the bf16 deterministic forward through "
                     "the attention megakernel (rate-0 dropout) instead "
@@ -99,7 +102,7 @@ def main() -> int:
     # pipelined mode: keep `depth` calls in flight with predict_async —
     # the per-call tunnel RTT overlaps device compute, so aggregate
     # throughput approaches the pure-compute rate
-    depth = 2
+    depth = args.depth
     handles = []
     t0 = time.perf_counter()
     for _ in range(args.iters):
