@@ -13,13 +13,15 @@ grid-constant VMEM residents (w1q+w2q = 4.7 MB, wqkvq+woq = 2.4 MB at
 BERT-base — a quarter of their bf16 size, fetched from HBM once per
 kernel launch).
 
-Measured regimes (v5e, batch 64, serve_bench): int8 wins synchronous
-latency (p50 ~57-61 ms vs ~67-75 bf16; sync-minus-tunnel device time
-~31 vs ~40 ms).  Async pipelined throughput on THIS 1-CPU host
-saturates at a shared ~37-38 ms/batch per-call host+tunnel floor for
-both configs (int8 at depth 4 converges to exactly bf16's number), so
-the device advantage is masked here — on a standard serving host the
-device time governs and int8 wins both regimes.
+Measured regimes (v5e, batch 64, serve_bench): int8 wins BOTH.
+Synchronous latency p50 **56.5 ms vs 66.1 bf16** (−15%); async depth-2
+pipelined **19.6 ms/batch (3,259 utt/s) vs 31.0 (2,065)** — int8
+device time is ~63% of bf16's, consistent with the MXU's 2× int8 rate
+on the GEMM fraction of the block.  (An earlier round-3 measurement
+had int8 losing async at ~43 ms/batch: the pipeline was floored at a
+shared ~37 ms/batch host cost — a cold synchronous fetch RTT inside
+``result()`` — removed by starting the device→host copy at dispatch,
+`serve.py:_dispatch`.)
 
 Serving-only by design: forward kernels, no dropout, no VJP — the
 training path stays bf16 (quantization-aware training is out of scope;

@@ -178,6 +178,17 @@ class Predictor:
             mask[end - start:, 0] = 1.0
             pred, _ = self._fwd(self.params, jnp.asarray(ids),
                                 jnp.asarray(mask), jnp.asarray(sg))
+            # start the device->host copy NOW: the (b, n_bottom) bool
+            # result is tiny, but a cold fetch inside .result() pays a
+            # full synchronous tunnel round-trip (~28 ms measured) on
+            # the host's critical path — with the copy already in
+            # flight, .result() finds the bytes waiting.  This is what
+            # lifts the pipelined floor from ~37 ms/batch to the pure
+            # device rate.
+            try:
+                pred.copy_to_host_async()
+            except AttributeError:
+                pass
             futures.append((start, end, pred))
         return _PendingPrediction(self, n, futures)
 
