@@ -413,6 +413,15 @@ class Trainer:
             for bidx in padded.reshape(n_batches, b_eval):
                 out = self.eval_step(self.state.params, bucket.data,
                                      jnp.asarray(bidx))
+                # start the tiny device->host copies at dispatch so the
+                # per-bucket device_get below finds the bytes waiting
+                # instead of paying a cold fetch RTT (same fix as
+                # serve._dispatch, measured ~27.5 ms/call there)
+                for leaf in (out["pred"], out["loss"]["total"]):
+                    try:
+                        leaf.copy_to_host_async()
+                    except AttributeError:
+                        pass
                 bucket_preds.append(out["pred"])
                 loss_parts.append(out["loss"]["total"])
             bp = np.concatenate(jax.device_get(bucket_preds))[:nb]
