@@ -153,3 +153,30 @@ def test_single_pass_pack_matches_repack(setup):
     np.testing.assert_array_equal(packed.input_ids, want.input_ids)
     np.testing.assert_array_equal(packed.attn_mask, want.attn_mask)
     np.testing.assert_array_equal(packed.segment_ids, want.segment_ids)
+
+
+def test_fused_attn_eval_predictor_default(setup):
+    """The Predictor auto-enables the serving attention megakernel only
+    when the training megakernel resolves for the backend (never on
+    CPU), scopes the flip to its own config copy, and honors explicit
+    overrides.  Measured rationale: 23.2 vs 31.0 ms/batch pipelined on
+    v5e (serve_bench)."""
+    import dataclasses
+
+    memory, tok, split, cfg, params = setup
+    kcfg = dataclasses.replace(
+        cfg, encoder=dataclasses.replace(cfg.encoder,
+                                         use_fused_attn=True))
+
+    # CPU backend: resolve_flash(None) is False -> auto stays off
+    pred_auto = Predictor(params, kcfg, memory, tok, batch_size=8)
+    assert not pred_auto.cfg.encoder.use_fused_attn_eval
+    # caller's config object untouched by the explicit flip
+    pred_on = Predictor(params, kcfg, memory, tok, batch_size=8,
+                        fused_attn_eval=True)
+    assert pred_on.cfg.encoder.use_fused_attn_eval
+    assert not kcfg.encoder.use_fused_attn_eval
+    # explicit off always wins
+    pred_off = Predictor(params, kcfg, memory, tok, batch_size=8,
+                         fused_attn_eval=False)
+    assert not pred_off.cfg.encoder.use_fused_attn_eval
