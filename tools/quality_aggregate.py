@@ -43,6 +43,10 @@ def welch_t(a, b):
     if denom == 0:
         return 0.0, 0.0
     t = (ma - mb) / denom
+    if len(a) < 2 or len(b) < 2:
+        # A 1-run arm has no variance estimate: the t value is still
+        # reportable but the Welch–Satterthwaite dof is undefined.
+        return t, float("nan")
     # Welch–Satterthwaite dof
     dof = (va + vb) ** 2 / (va ** 2 / (len(a) - 1) + vb ** 2 / (len(b) - 1))
     return t, dof
@@ -52,6 +56,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--log", default="/tmp/qsweep/results.jsonl")
     args = ap.parse_args()
+
+    # Known arm --extra strings (mirror of quality_sweep.ARMS): runs
+    # logged with any other ad-hoc flags are skipped with a warning
+    # instead of being silently counted into an arm.
+    known_extras = {"": "shipping", "--no_fused_ffn --no_fused_attn": "flash_only"}
 
     arms = defaultdict(lambda: defaultdict(list))   # arm -> metric -> []
     cov = defaultdict(lambda: defaultdict(list))    # coverage -> metric -> []
@@ -66,7 +75,12 @@ def main() -> int:
             if r.get("coverage") is not None:
                 tgt = cov[float(r["coverage"])]
             else:
-                tgt = arms["flash_only" if r["extra"] else "shipping"]
+                arm = known_extras.get(r.get("extra", ""))
+                if arm is None:
+                    print(f"WARNING: skipping run with unknown extra "
+                          f"{r.get('extra')!r} (seed {r.get('seed')})")
+                    continue
+                tgt = arms[arm]
             for k in ("vf", "v_acc", "tef", "te_acc"):
                 tgt[k].append(float(r[k]))
             tgt["epoch"].append(int(r["epoch"]))
