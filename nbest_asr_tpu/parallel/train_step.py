@@ -221,6 +221,12 @@ def make_eval_step(cfg: ModelConfig, loss_cfg: LossConfig,
     """
     eval_loss_cfg = LossConfig(add_l2_loss=False)
 
+    # multi-process: the decoded batch outputs come out dp-sharded, but
+    # every process's host eval loop consumes the FULL batch — constrain
+    # them replicated so the all-gather happens on device (device_get of a
+    # non-fully-addressable array is an error under jax.distributed)
+    gather_out = jax.process_count() > 1 and mesh is not None
+
     def eval_step(params, data, idx):
         micro = _gather_micro(data, idx, mesh)
         loss, (parts, top, probs) = _forward_and_loss(
@@ -230,6 +236,10 @@ def make_eval_step(cfg: ModelConfig, loss_cfg: LossConfig,
         pred = decode_multihot(top, probs, hier)
         counts = f1_counts_from_multihot(
             pred, micro["labels"], micro.get("example_mask"))
+        if gather_out:
+            rep = NamedSharding(mesh, P())
+            pred = jax.lax.with_sharding_constraint(pred, rep)
+            top = jax.lax.with_sharding_constraint(top, rep)
         return {"loss": parts, "counts": counts, "pred": pred,
                 "top": top}
 

@@ -53,6 +53,16 @@ from ..utils.logging import make_logger
 from ..utils.observability import EpochInfo, observability_lens
 
 
+def _is_coordinator() -> bool:
+    """True on the one process that owns shared-filesystem artifact writes
+    (checkpoint sidecar, prediction dumps, observability CSVs, config/best
+    snapshots).  With P > 1 every process runs the same epoch loop on its
+    data shard; without this guard they would all write the SAME paths
+    concurrently (racy, and on some filesystems corrupting).  Orbax pytree
+    saves stay all-process: Orbax coordinates multi-host saves itself."""
+    return jax.process_index() == 0
+
+
 def _host_data(packed: PackedSplit, *, use_asr_segments: bool,
                use_trans_segments: bool) -> Dict[str, np.ndarray]:
     """PackedSplit -> host numpy dict (bucketing slices it on host; each
@@ -88,11 +98,12 @@ class _Bucket:
         return len(self.rows)
 
 
-def _make_buckets(data: Dict[str, np.ndarray], bucket_lens: List[int]
-                  ) -> List[_Bucket]:
+def _make_buckets(data: Dict[str, np.ndarray], bucket_lens: List[int],
+                  put=jnp.asarray) -> List[_Bucket]:
     """Split host data into per-length buckets (`data/bucketing.py` — the
     same assignment the multi-host direct path recomputes per process) and
-    device_put each bucket once.  Rows are NEVER truncated, whatever
+    device_put each bucket once (``put`` places replicated GLOBAL arrays
+    when running multi-process).  Rows are NEVER truncated, whatever
     bucket ladder the user passes."""
     from ..data.bucketing import (bucket_assignment, row_lengths,
                                   slice_rows)
@@ -101,7 +112,7 @@ def _make_buckets(data: Dict[str, np.ndarray], bucket_lens: List[int]
     buckets: List[_Bucket] = []
     for blen, rows in bucket_assignment(row_lengths(data), bucket_lens,
                                         max_len):
-        sub = {k: jnp.asarray(v)
+        sub = {k: put(v)
                for k, v in slice_rows(data, rows, blen).items()}
         buckets.append(_Bucket(data=sub, rows=rows))
     return buckets
@@ -181,17 +192,28 @@ class Trainer:
         # jax.make_array_from_process_local_data.  Eval splits stay on the
         # index path (small; every process holds them, exact host metrics).
         self.direct_data = opt.data_mode == "direct"
+        # multi-process runtime (jax.distributed): every host array fed to
+        # the jitted steps must be a GLOBAL array — replicated for eval
+        # splits / rng / indices, process-sharded (direct mode) for train
+        self._multiproc = jax.process_count() > 1
+        if self._multiproc and not self.direct_data and "train" in self.data:
+            raise ValueError(
+                "process_count > 1 requires --data_mode direct: the index "
+                "path keeps the whole train split device-resident, which "
+                "no single process can provide on a multi-host mesh")
         self._shard = None
         self.buckets: Dict[str, List[_Bucket]] = {}
         for name, d in self.data.items():
             if self.direct_data and name == "train":
                 continue
             if bucket_lens:
-                self.buckets[name] = _make_buckets(d, bucket_lens)
+                self.buckets[name] = _make_buckets(d, bucket_lens,
+                                                   self._put_replicated)
             else:
                 n = len(packed[name])
                 self.buckets[name] = [_Bucket(
-                    data={k: jnp.asarray(v) for k, v in d.items()},
+                    data={k: self._put_replicated(v)
+                          for k, v in d.items()},
                     rows=np.arange(n))]
         if self.direct_data and "train" in self.data:
             from ..parallel.process_data import ProcessTrainShard
@@ -262,15 +284,28 @@ class Trainer:
         self.state = TrainState(
             params=params,
             opt_state=jax.jit(self.optimizer.init)(params),
-            step=jnp.zeros([], jnp.int32),
+            step=self._put_replicated(jnp.zeros([], jnp.int32)),
         )
-        self._rng = jax.random.PRNGKey(opt.random_seed)
+        self._rng = self._put_replicated(
+            jax.random.PRNGKey(opt.random_seed))
         self._shuffle_rng = np.random.RandomState(opt.random_seed)
         # resume bookkeeping (set by load_checkpoint when the checkpoint
         # carries epoch metadata; SURVEY.md §5.4 — the reference has no
         # mid-training resume at all)
         self._start_epoch = 0
         self._best: Optional[Dict[str, float]] = None
+
+    def _put_replicated(self, x):
+        """Single-process: plain device array.  Multi-process: a fully
+        replicated GLOBAL array over the mesh — every process passes the
+        same host value (eval splits, rng keys, index vectors are all
+        process-identical by construction), and jit then accepts it next
+        to the mesh-global params/batches."""
+        if not self._multiproc:
+            return jnp.asarray(x)
+        from ..parallel.mesh import replicated
+
+        return jax.device_put(x, replicated(self.mesh))
 
     # ------------------------------------------------------------------ #
     # epochs
@@ -340,7 +375,7 @@ class Trainer:
                 plans.append(("single", bi, idx[s]))
         self._shuffle_rng.shuffle(plans)
 
-        dummy_idx = jnp.zeros((0,), jnp.int32)
+        dummy_idx = self._put_replicated(jnp.zeros((0,), jnp.int32))
         stats_acc = None
         for kind, bi, idx_s in plans:
             self._rng, step_rng = jax.random.split(self._rng)
@@ -412,7 +447,7 @@ class Trainer:
             bucket_preds = []
             for bidx in padded.reshape(n_batches, b_eval):
                 out = self.eval_step(self.state.params, bucket.data,
-                                     jnp.asarray(bidx))
+                                     self._put_replicated(bidx))
                 # start the tiny device->host copies at dispatch so the
                 # per-bucket device_get below finds the bytes waiting
                 # instead of paying a cold fetch RTT (same fix as
@@ -444,7 +479,7 @@ class Trainer:
         info = EpochInfo(raw_inputs, pred_strings, golds, matches,
                          mean_loss, p, r, f, acc)
 
-        if dump_prefix is not None:
+        if dump_prefix is not None and _is_coordinator():
             self._write_dumps(dump_prefix, packed, pred_strings, golds)
 
         return EpochMetrics(mean_loss, p, r, f, acc), info
@@ -490,6 +525,8 @@ class Trainer:
             "opt_state": self.state.opt_state,
             "step": self.state.step,
         }, force=True)
+        if not _is_coordinator():
+            return
         mt = self._shuffle_rng.get_state()
         meta = {
             "epoch": epoch,
@@ -525,7 +562,7 @@ class Trainer:
             if meta.get("best") is not None:
                 self._best = dict(meta["best"])
             if meta.get("rng") is not None:
-                self._rng = jnp.asarray(
+                self._rng = self._put_replicated(
                     np.asarray(meta["rng"], dtype=np.uint32))
             if meta.get("shuffle") is not None:
                 kind, keys, pos, hg, cached = meta["shuffle"]
@@ -548,9 +585,12 @@ class Trainer:
         # reference-parity dir NAME omits) is machine-readable per run
         from dataclasses import asdict
 
-        snap = {k: v for k, v in asdict(opt).items() if k != "ontology"}
-        with open(os.path.join(opt.exp_dir, "config.json"), "w") as fp:
-            json.dump(snap, fp, indent=1, default=str)
+        if _is_coordinator():
+            snap = {k: v for k, v in asdict(opt).items()
+                    if k != "ontology"}
+            with open(os.path.join(opt.exp_dir, "config.json"),
+                      "w") as fp:
+                json.dump(snap, fp, indent=1, default=str)
         logger = self.logger or make_logger(
             os.path.join(opt.exp_dir, "log.train"))
         logger.info("Training starts at %s" % time.asctime())
@@ -630,7 +670,7 @@ class Trainer:
                 "(p/r/f): (%.2f/%.2f/%.2f)\tAcc: %.2f" %
                 (i, time.time() - t0, vm.mean_loss, vm.precision,
                  vm.recall, vm.f1, vm.acc))
-            if artifacts:
+            if artifacts and _is_coordinator():
                 observability_lens(v_info, i, "valid", opt.exp_dir,
                                    csv_name)
 
@@ -646,7 +686,7 @@ class Trainer:
                     "(p/r/f): (%.2f/%.2f/%.2f)\tAcc: %.2f" %
                     (i, time.time() - t0, tem.mean_loss, tem.precision,
                      tem.recall, tem.f1, tem.acc))
-                if artifacts:
+                if artifacts and _is_coordinator():
                     observability_lens(te_info, i, "test", opt.exp_dir,
                                        csv_name)
 
@@ -682,8 +722,9 @@ class Trainer:
             "test F1/Acc: %.2f/%.2f" %
             (best["epoch"], best["vf"], best["v_acc"], best["tef"],
              best["te_acc"]))
-        with open(os.path.join(opt.exp_dir, "best.json"), "w") as fp:
-            json.dump(best, fp)
+        if _is_coordinator():
+            with open(os.path.join(opt.exp_dir, "best.json"), "w") as fp:
+                json.dump(best, fp)
         if prev_handler is not None:
             import signal
 
@@ -740,6 +781,7 @@ def build_model(opt: RunOptions, memory: Memory, tokenizer):
         use_flash_attention=resolve_flash(opt.use_flash_attention),
         use_fused_ffn=resolve_flash(opt.use_fused_ffn),
         use_fused_attn=resolve_flash(opt.use_fused_attn),
+        use_int8_train=opt.int8_train,
         flash_min_seq=opt.flash_min_seq,
         remat=opt.remat)
 
