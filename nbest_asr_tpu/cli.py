@@ -33,17 +33,15 @@ def resolve_memory(opt: RunOptions) -> Memory:
 
 def prepare_packed_splits(opt: RunOptions, memory: Memory, tokenizer):
     """Read + coverage-sample + tokenize + pack all splits with one shared
-    static max_len.  Uses the native (C++) loader for the word-vocab
-    tokenizer when built (`native/nbest_loader.cpp`); the Python packer is
-    the oracle and fallback."""
-    from .data.tokenizer import WordVocabTokenizer
-
-    use_native = opt.native_loader and isinstance(
-        tokenizer, WordVocabTokenizer)
+    static max_len.  Uses the native (C++) loader when built for the
+    word-vocab tokenizer AND BERT-family WordPiece adapters
+    (`native/nbest_loader.cpp`, bit-parity tested); the Python packer is
+    the oracle and the fallback for BPE/SentencePiece families."""
+    use_native = opt.native_loader
     if use_native:
-        from .data.native_loader import native_available
+        from .data.native_loader import native_available, native_supported
 
-        use_native = native_available()
+        use_native = native_supported(tokenizer) and native_available()
 
     splits = {}
     raw = {}

@@ -12,8 +12,16 @@ Two entry points share one persistent `NativePacker` handle:
 - ``pack_lines`` — in-memory records -> PackedSplit (serving path; no
   filesystem touch, `nbl_load_buffer`)
 
-Scope: word-vocab tokenization only (HF subword tokenizers stay in Python
-— they are run offline exactly once, so they are not hot).
+Tokenizer scope:
+- ``WordVocabTokenizer`` — whole-word vocab lookup (from-scratch runs);
+- BERT-family WordPiece (``HFTokenizerAdapter`` over a BertTokenizer /
+  BertTokenizerFast) — native greedy longest-match subword tokenization
+  with BasicTokenizer clean/lower/strip-accents/punct-split semantics,
+  bit-parity-tested against transformers.  This covers the reference's
+  primary pretrained path (`utils/bert_xlnet_inputs.py:46-53`) plus the
+  in-repo MLM checkpoints (`tools/pretrain_mlm.py`).
+- RoBERTa BPE / XLM-R SentencePiece adapters fall back to the Python
+  packer (different sub-token algebras; offline-only paths).
 """
 
 from __future__ import annotations
@@ -27,7 +35,7 @@ from typing import Optional, Sequence
 import numpy as np
 
 from .input_builder import PackedSplit, round_up
-from .tokenizer import WordVocabTokenizer
+from .tokenizer import BaseTokenizer, WordVocabTokenizer
 from .vocab import Memory
 
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(
@@ -70,6 +78,11 @@ def _load_lib() -> Optional[ctypes.CDLL]:
                                ctypes.c_int32, ctypes.c_int32,
                                ctypes.c_int32, ctypes.c_int32,
                                ctypes.c_int32]
+    lib.nbl_create_wordpiece.restype = ctypes.c_void_p
+    lib.nbl_create_wordpiece.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                         ctypes.c_int32, ctypes.c_int32,
+                                         ctypes.c_int32, ctypes.c_int32,
+                                         ctypes.c_int32, ctypes.c_int32]
     lib.nbl_error.restype = ctypes.c_char_p
     lib.nbl_error.argtypes = [ctypes.c_void_p]
     lib.nbl_load.restype = ctypes.c_int32
@@ -97,10 +110,38 @@ def native_available() -> bool:
     return _load_lib() is not None
 
 
+def _bert_wordpiece_info(tokenizer: BaseTokenizer):
+    """(ordered vocab list, do_lower_case) when ``tokenizer`` adapts a
+    BERT WordPiece tokenizer, else None."""
+    tok = getattr(tokenizer, "_tok", None)
+    if tok is None:
+        return None
+    try:
+        from transformers import BertTokenizer, BertTokenizerFast
+    except ImportError:
+        return None
+    if not isinstance(tok, (BertTokenizer, BertTokenizerFast)):
+        return None
+    vocab = tok.get_vocab()
+    inv = [None] * (max(vocab.values()) + 1)
+    for t, i in vocab.items():
+        inv[i] = t
+    inv = [t if t is not None else f"[unused_gap{i}]"
+           for i, t in enumerate(inv)]
+    return inv, bool(getattr(tok, "do_lower_case", True))
+
+
+def native_supported(tokenizer: BaseTokenizer) -> bool:
+    """Whether NativePacker can serve this tokenizer (word-vocab or BERT
+    WordPiece); RoBERTa BPE / XLM-R SentencePiece adapters return False."""
+    return isinstance(tokenizer, WordVocabTokenizer) or \
+        _bert_wordpiece_info(tokenizer) is not None
+
+
 class NativePacker:
     """Persistent handle over the C++ loader (vocab/labels loaded once)."""
 
-    def __init__(self, memory: Memory, tokenizer: WordVocabTokenizer,
+    def __init__(self, memory: Memory, tokenizer: BaseTokenizer,
                  layout: str = "default"):
         lib = _load_lib()
         if lib is None:
@@ -111,20 +152,42 @@ class NativePacker:
         self._n_labels = memory.n_bottom
         self._pad_id = tokenizer.pad_token_id
         with tempfile.TemporaryDirectory() as td:
-            vocab_path = os.path.join(td, "vocab.tsv")
-            with open(vocab_path, "w") as fp:
-                for w, i in tokenizer.vocab.items():
-                    fp.write(f"{w}\t{i}\n")
             label_path = os.path.join(td, "labels.tsv")
             with open(label_path, "w") as fp:
                 for l, i in memory.label2idx.items():
                     fp.write(f"{l}\t{i}\n")
-            sep_id = tokenizer.vocab[tokenizer.sep_token]
-            self._h = lib.nbl_create(
-                vocab_path.encode(), label_path.encode(),
-                tokenizer.pad_token_id, 1,
-                tokenizer.vocab[tokenizer.cls_token], sep_id,
-                1 if tokenizer.double_sep else 0)
+            if isinstance(tokenizer, WordVocabTokenizer):
+                vocab_path = os.path.join(td, "vocab.tsv")
+                with open(vocab_path, "w") as fp:
+                    for w, i in tokenizer.vocab.items():
+                        fp.write(f"{w}\t{i}\n")
+                sep_id = tokenizer.vocab[tokenizer.sep_token]
+                self._h = lib.nbl_create(
+                    vocab_path.encode(), label_path.encode(),
+                    tokenizer.pad_token_id, 1,
+                    tokenizer.vocab[tokenizer.cls_token], sep_id,
+                    1 if tokenizer.double_sep else 0)
+            else:
+                info = _bert_wordpiece_info(tokenizer)
+                if info is None:
+                    raise RuntimeError(
+                        "native packer supports WordVocabTokenizer and "
+                        "BERT WordPiece tokenizers; "
+                        f"got {type(tokenizer).__name__} over "
+                        f"{type(getattr(tokenizer, '_tok', None)).__name__}")
+                inv, lower = info
+                vocab_path = os.path.join(td, "vocab.txt")
+                with open(vocab_path, "w") as fp:
+                    fp.write("\n".join(inv) + "\n")
+                ids = tokenizer.convert_tokens_to_ids
+                unk_id = ids([getattr(tokenizer._tok, "unk_token")])[0]
+                self._h = lib.nbl_create_wordpiece(
+                    vocab_path.encode(), label_path.encode(),
+                    tokenizer.pad_token_id, unk_id,
+                    ids([tokenizer.cls_token])[0],
+                    ids([tokenizer.sep_token])[0],
+                    1 if lower else 0,
+                    1 if tokenizer.double_sep else 0)
         err = lib.nbl_error(self._h).decode()
         if err:
             lib.nbl_destroy(self._h)
@@ -207,7 +270,7 @@ class NativePacker:
 
 
 def pack_file_native(shard_path: str, memory: Memory,
-                     tokenizer: WordVocabTokenizer,
+                     tokenizer: BaseTokenizer,
                      layout: str = "default",
                      max_len: Optional[int] = None,
                      len_multiple: int = 8) -> PackedSplit:

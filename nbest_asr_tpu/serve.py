@@ -111,18 +111,18 @@ class Predictor:
             {min(b, max_len) for b in bucket_lens} | {max_len})
         self.hier = hierarchy_device_arrays(memory.arrays())
 
-        # native (C++) in-memory packer for the word-vocab tokenizer —
-        # host packing dominates serving latency otherwise
+        # native (C++) in-memory packer — host packing dominates serving
+        # latency otherwise.  Covers the word-vocab tokenizer AND
+        # BERT-family WordPiece adapters (the pretrained production
+        # path); BPE/SentencePiece families fall back to Python packing.
         self._native = None
-        from .data.tokenizer import WordVocabTokenizer
+        try:
+            from .data.native_loader import NativePacker, native_supported
 
-        if isinstance(tokenizer, WordVocabTokenizer):
-            try:
-                from .data.native_loader import NativePacker
-
+            if native_supported(tokenizer):
                 self._native = NativePacker(memory, tokenizer, layout)
-            except Exception:
-                self._native = None
+        except Exception:
+            self._native = None
 
         def fwd(params, input_ids, attn_mask, segment_ids):
             top, probs, final, _, _ = model_forward(

@@ -54,6 +54,15 @@ def main() -> int:
                     action="store_false",
                     help="force XLA eval attention (the round-3 "
                     "pre-flip baseline)")
+    ap.add_argument("--tokenizer", choices=["word", "wordpiece"],
+                    default="word",
+                    help="'wordpiece' serves through a BERT WordPiece "
+                    "tokenizer (trained offline on the shard text) — "
+                    "the pretrained-family packing path, native in C++ "
+                    "since round 4")
+    ap.add_argument("--no_native_pack", action="store_true",
+                    help="disable the C++ packer (measures the Python "
+                    "host-packing fallback)")
     args = ap.parse_args()
 
     import jax
@@ -72,13 +81,27 @@ def main() -> int:
     from nbest_asr_tpu.serve import Predictor
 
     memory = Memory.from_torch_pt(os.path.join(REF_RAW, "memory.pt"))
-    tok = WordVocabTokenizer(memory)
     split = read_sep_data(os.path.join(REF_RAW, "valid"))
+    vocab_size = 30522
+    if args.tokenizer == "wordpiece":
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        from pretrain_mlm import corpus_lines, train_wordpiece_vocab
+
+        from nbest_asr_tpu.data.tokenizer import HFTokenizerAdapter
+
+        tok_dir = "/tmp/serve_bench_wp"
+        if not os.path.exists(os.path.join(tok_dir, "vocab.txt")):
+            train_wordpiece_vocab(corpus_lines(split), tok_dir, 3000)
+        tok = HFTokenizerAdapter(tok_dir)
+        with open(os.path.join(tok_dir, "vocab.txt")) as fp:
+            vocab_size = sum(1 for _ in fp)
+    else:
+        tok = WordVocabTokenizer(memory)
 
     from nbest_asr_tpu.ops.attention import resolve_flash
 
     fused = False if args.no_fused else resolve_flash(None)
-    enc = EncoderConfig.bert_base(vocab_size=30522,
+    enc = EncoderConfig.bert_base(vocab_size=vocab_size,
                                   compute_dtype="bfloat16",
                                   use_fused_attn=fused,
                                   use_fused_ffn=fused)
@@ -93,9 +116,20 @@ def main() -> int:
     pred = Predictor(params, cfg, memory, tok, batch_size=args.batch,
                      max_len=args.max_len, quantize=args.quantize,
                      fused_attn_eval=args.fused_attn_eval)
+    if args.no_native_pack:
+        pred._native = None
+    native_pack = pred._native is not None
 
     utts = [" ".join(s) for s in split.asr_seqs[: args.batch]]
     pred.predict(utts)  # compile + warmup
+
+    # host packing cost in isolation (tokenize + layout + pad)
+    seqs = [u.split() for u in utts]
+    pack_ms = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        pred._pack(seqs)
+        pack_ms.append((time.perf_counter() - t0) * 1000)
 
     lat = []
     for _ in range(args.iters):
@@ -121,6 +155,9 @@ def main() -> int:
     print(json.dumps({
         "metric": "dstc2_serving",
         "quantize": args.quantize,
+        "tokenizer": args.tokenizer,
+        "native_pack": native_pack,
+        "host_pack_p50_ms": round(float(np.percentile(pack_ms, 50)), 2),
         "batch": args.batch,
         "latency_p50_ms": round(float(np.percentile(lat_ms, 50)), 2),
         "latency_p95_ms": round(float(np.percentile(lat_ms, 95)), 2),
