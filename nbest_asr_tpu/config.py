@@ -94,6 +94,9 @@ class RunOptions:
     # attention-block megakernel (ops/fused_attention.py) on TPU —
     # QKV GEMM + attention + out-proj + dropout/residual/LN fused,
     # training path, seq <= 512
+    int8_train: bool = False              # int8 FORWARD GEMMs in the
+    # training FFN megakernel (bf16 backward) — the measured int8
+    # training probe (ops/fused_ffn.fused_ffn_block_int8_train)
     flash_min_seq: int = 160              # flash-attention routing
     # threshold (bucketed seq >= this trains on the Pallas kernel);
     # serialized into the exp dir when non-default, dumped with the rest
@@ -257,6 +260,10 @@ def parse_arguments(argv=None) -> RunOptions:
     p.add_argument("--no_fused_attn", dest="use_fused_attn",
                    action="store_false",
                    help="force the XLA attention path")
+    p.add_argument("--int8_train", action="store_true",
+                   help="int8 forward GEMMs in the training FFN "
+                   "megakernel (bf16 backward); requires the fused FFN "
+                   "kernel + bf16 compute")
     p.add_argument("--flash_min_seq", type=int, default=d.flash_min_seq,
                    help="flash-attention routing threshold (bucketed "
                    "seq >= this trains on the Pallas kernel)")

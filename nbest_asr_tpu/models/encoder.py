@@ -70,6 +70,11 @@ class EncoderConfig:
     # QKV GEMM + per-head attention (softmax/dropout) + out-proj +
     # bias/dropout/residual/LN in one kernel each way
     # (ops/fused_attention.py); training path, seq <= 512
+    use_int8_train: bool = False    # int8 FORWARD GEMMs inside the
+    # training FFN megakernel (weights re-quantized per step + per-token
+    # activation quant, f32 accumulation) with the unchanged bf16
+    # backward — the VERDICT-r3 int8-training probe
+    # (ops/fused_ffn.fused_ffn_block_int8_train); CLI --int8_train
     use_fused_attn_eval: bool = False  # also route the DETERMINISTIC
     # (eval/serving) bf16 forward through the attention megakernel
     # (dropout rate 0).  Off by default pending measurement: XLA's
@@ -369,6 +374,18 @@ def encoder_forward(params: dict, input_ids: jnp.ndarray,
                 p["ffn_in_bias"], p["ffn_out_kernel"]["q"],
                 p["ffn_out_kernel"]["scale"], p["ffn_out_bias"],
                 p["ffn_ln_scale"], p["ffn_ln_bias"],
+                eps=cfg.layer_norm_eps)
+            return (x, layer_idx + 1), None
+        if ffn_kernel_ok and not ffn_quantized and cfg.use_int8_train \
+                and not deterministic:
+            from ..ops.fused_ffn import fused_ffn_block_int8_train
+
+            x = fused_ffn_block_int8_train(
+                x, p["ffn_in_kernel"].astype(cdt), p["ffn_in_bias"],
+                p["ffn_out_kernel"].astype(cdt), p["ffn_out_bias"],
+                p["ffn_ln_scale"], p["ffn_ln_bias"],
+                dropout_rate=cfg.hidden_dropout,
+                dropout_rng=jax.random.fold_in(lrng, 3),
                 eps=cfg.layer_norm_eps)
             return (x, layer_idx + 1), None
         if ffn_kernel_ok and not ffn_quantized:

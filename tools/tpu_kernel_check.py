@@ -356,6 +356,65 @@ def main(record_path: "str | None" = None) -> int:
         check_rel(f"fused_ffn dropout {nm} vs extracted-mask oracle",
                   a, b_, 0.05)
 
+    # ---- int8-forward training FFN (ops/fused_ffn int8 variant) -------- #
+    # fwd == the quantized XLA chain (quant.dense_int8 math); backward ==
+    # the hybrid straight-through oracle (LN head through the actual int8
+    # y2d, GEMM chain through full-precision weights).  bf16 production
+    # dtype.
+    from nbest_asr_tpu.ops.fused_ffn import fused_ffn_block_int8_train
+    from nbest_asr_tpu.ops.quant import dense_int8, quantize_weight
+
+    def i8_chain(x_, w1_, w2_):
+        w1q, w1s = quantize_weight(w1_.astype(jnp.float32), axis_in=-2)
+        w2q, w2s = quantize_weight(w2_.astype(jnp.float32), axis_in=-2)
+        g = gelu(dense_int8(x_, w1q, w1s, fb1))
+        return dense_int8(g, w2q, w2s, fb2)
+
+    def i8_oracle(x_, w1_, w2_):
+        y2_i8 = i8_chain(x_, w1_, w2_).astype(jnp.float32)
+        y2_fp = (gelu(jnp.dot(x_, w1_, preferred_element_type=jnp.float32)
+                      .astype(jnp.bfloat16).astype(jnp.float32) + fb1)
+                 .astype(jnp.bfloat16) @ w2_).astype(jnp.float32) + fb2
+        y2 = y2_fp + jax.lax.stop_gradient(y2_i8 - y2_fp)
+        return layer_norm(y2 + x_.astype(jnp.float32), fls, flb, 1e-12)
+
+    got_i8 = jax.jit(lambda x_, a_, c_: fused_ffn_block_int8_train(
+        x_, a_, fb1, c_, fb2, fls, flb))(xb, w1b, w2b)
+    with jax.default_matmul_precision("highest"):
+        want_i8 = layer_norm(
+            i8_chain(xb, w1b, w2b).astype(jnp.float32)
+            + xb.astype(jnp.float32), fls, flb, 1e-12)
+    check_rel("int8_train fwd vs quantized XLA chain", got_i8, want_i8,
+              0.02)
+    # genuinely quantized: far from the bf16 block on the same inputs
+    bf16_fwd = jax.jit(lambda x_, a_, c_: fused_ffn_block(
+        x_, a_, fb1, c_, fb2, fls, flb))(xb, w1b, w2b)
+    diff_q = float(np.abs(np.asarray(got_i8, np.float32)
+                          - np.asarray(bf16_fwd, np.float32)).max())
+    ok_q = diff_q > 1e-3
+    print(f"{'PASS' if ok_q else 'FAIL'}  int8_train is quantized "
+          f"(differs from bf16 fwd by {diff_q:.2e})")
+    record("int8_train is quantized", ok_q, diff_q)
+
+    g_i8 = jax.jit(jax.grad(floss(
+        lambda x_, a_, c_: fused_ffn_block_int8_train(
+            x_, a_, fb1, c_, fb2, fls, flb)),
+        argnums=(0, 1, 2)))(xb, w1b, w2b)
+    with jax.default_matmul_precision("highest"):
+        g_i8o = jax.grad(floss(i8_oracle), argnums=(0, 1, 2))(
+            xb, w1b, w2b)
+    for a, b_, nm in zip(g_i8, g_i8o, ("dx", "dw1", "dw2")):
+        check_rel(f"int8_train {nm} vs straight-through oracle", a, b_,
+                  0.05)
+
+    i8_drop = jax.jit(functools.partial(
+        fused_ffn_block_int8_train, dropout_rate=0.3))
+    i1 = i8_drop(xb, w1b, fb1, w2b, fb2, fls, flb,
+                 dropout_rng=jax.random.PRNGKey(3))
+    i2 = i8_drop(xb, w1b, fb1, w2b, fb2, fls, flb,
+                 dropout_rng=jax.random.PRNGKey(3))
+    check("int8_train dropout determinism", i1, i2, 0.0)
+
     # ---- fused attention-block megakernel ------------------------------ #
     # Part 1: no-dropout numerics at the asymmetric-padding shape
     # (s=96 -> q rows 96, kv lanes 128) vs the XLA oracle.
