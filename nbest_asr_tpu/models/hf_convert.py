@@ -122,6 +122,95 @@ def config_from_hf(hf_config, **overrides) -> EncoderConfig:
     return EncoderConfig(**kw)
 
 
+def export_hf_checkpoint(cfg: EncoderConfig, enc_params: dict,
+                         out_dir: str, extra_state: Dict | None = None,
+                         pooler_seed: int = 0) -> None:
+    """Encoder param pytree -> a local HuggingFace BERT checkpoint dir
+    (``config.json`` + ``pytorch_model.bin``), the exact inverse of
+    :func:`convert_state_dict`.
+
+    This is how the in-repo MLM pretraining stage (`tools/pretrain_mlm.py`)
+    produces an artifact consumable through the reference's
+    ``--tod_pre_trained_model`` surface (`n_best_asr_bert.py:480-487`,
+    AutoModel path): the fine-tune run then loads it through the SAME
+    :func:`load_pretrained_encoder` path as any external checkpoint.
+
+    Weights are saved under the ``bert.`` prefix (BertForMaskedLM-style,
+    like real TOD-BERT checkpoints); ``extra_state`` may add head tensors
+    (e.g. ``cls.predictions.*``) that AutoModel ignores but that allow
+    continued pretraining.  A deterministic seeded pooler is included so
+    ``BertModel.from_pretrained`` loads without missing-weight warnings
+    (our model never reads it — the reference consumes
+    ``sequence_output[:, 0]`` directly, `models/model.py:47`).
+    """
+    import os
+
+    import torch
+
+    def t(a) -> "torch.Tensor":
+        return torch.from_numpy(np.array(a, dtype=np.float32, copy=True))
+
+    emb = enc_params["embeddings"]
+    lay = enc_params["layers"]
+    h = cfg.hidden_size
+    sd: Dict[str, "torch.Tensor"] = {
+        "bert.embeddings.word_embeddings.weight": t(emb["word"]),
+        "bert.embeddings.position_embeddings.weight": t(emb["position"]),
+        "bert.embeddings.token_type_embeddings.weight": t(emb["type"]),
+        "bert.embeddings.LayerNorm.weight": t(emb["ln_scale"]),
+        "bert.embeddings.LayerNorm.bias": t(emb["ln_bias"]),
+    }
+    for i in range(cfg.num_layers):
+        p = f"bert.encoder.layer.{i}."
+        qkv_k = np.asarray(lay["qkv_kernel"][i])       # (h, 3h), (in, out)
+        qkv_b = np.asarray(lay["qkv_bias"][i])
+        for j, name in enumerate(("query", "key", "value")):
+            sd[p + f"attention.self.{name}.weight"] = t(
+                qkv_k[:, j * h:(j + 1) * h].T)         # back to (out, in)
+            sd[p + f"attention.self.{name}.bias"] = t(
+                qkv_b[j * h:(j + 1) * h])
+        sd[p + "attention.output.dense.weight"] = t(
+            np.asarray(lay["attn_out_kernel"][i]).T)
+        sd[p + "attention.output.dense.bias"] = t(lay["attn_out_bias"][i])
+        sd[p + "attention.output.LayerNorm.weight"] = t(
+            lay["attn_ln_scale"][i])
+        sd[p + "attention.output.LayerNorm.bias"] = t(lay["attn_ln_bias"][i])
+        sd[p + "intermediate.dense.weight"] = t(
+            np.asarray(lay["ffn_in_kernel"][i]).T)
+        sd[p + "intermediate.dense.bias"] = t(lay["ffn_in_bias"][i])
+        sd[p + "output.dense.weight"] = t(
+            np.asarray(lay["ffn_out_kernel"][i]).T)
+        sd[p + "output.dense.bias"] = t(lay["ffn_out_bias"][i])
+        sd[p + "output.LayerNorm.weight"] = t(lay["ffn_ln_scale"][i])
+        sd[p + "output.LayerNorm.bias"] = t(lay["ffn_ln_bias"][i])
+
+    g = torch.Generator().manual_seed(pooler_seed)
+    sd["bert.pooler.dense.weight"] = torch.empty(h, h).normal_(
+        0.0, cfg.initializer_range, generator=g)
+    sd["bert.pooler.dense.bias"] = torch.zeros(h)
+    if extra_state:
+        sd.update({k: t(v) for k, v in extra_state.items()})
+
+    from transformers import BertConfig
+
+    hf_cfg = BertConfig(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.hidden_size,
+        num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads,
+        intermediate_size=cfg.intermediate_size,
+        max_position_embeddings=cfg.max_position,
+        type_vocab_size=cfg.type_vocab_size,
+        layer_norm_eps=cfg.layer_norm_eps,
+        hidden_dropout_prob=cfg.hidden_dropout,
+        attention_probs_dropout_prob=cfg.attn_dropout,
+        architectures=["BertForMaskedLM"],
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    hf_cfg.to_json_file(os.path.join(out_dir, "config.json"))
+    torch.save(sd, os.path.join(out_dir, "pytorch_model.bin"))
+
+
 def load_pretrained_encoder(name_or_path: str, **overrides):
     """Resolve + convert a local HF checkpoint.  Returns (EncoderConfig,
     params).  Mirrors `n_best_asr_bert.py:480-487` (AutoModel path covers
