@@ -55,12 +55,23 @@ def welch_t(a, b):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--log", default="/tmp/qsweep/results.jsonl")
+    ap.add_argument("--arm", action="append", default=[],
+                    metavar="NAME=EXTRA",
+                    help="register an extra arm (e.g. "
+                    "'pretrained=--tod_pre_trained_model /x "
+                    "--require_pretrained'); repeatable")
+    ap.add_argument("--cov_extra", default=None,
+                    help="coverage rows must carry exactly this extra "
+                    "string (default: accept any)")
     args = ap.parse_args()
 
     # Known arm --extra strings (mirror of quality_sweep.ARMS): runs
     # logged with any other ad-hoc flags are skipped with a warning
     # instead of being silently counted into an arm.
     known_extras = {"": "shipping", "--no_fused_ffn --no_fused_attn": "flash_only"}
+    for spec in args.arm:
+        name, _, extra = spec.partition("=")
+        known_extras[extra] = name
 
     arms = defaultdict(lambda: defaultdict(list))   # arm -> metric -> []
     cov = defaultdict(lambda: defaultdict(list))    # coverage -> metric -> []
@@ -73,6 +84,9 @@ def main() -> int:
                 continue
             tgt = None
             if r.get("coverage") is not None:
+                if args.cov_extra is not None and \
+                        r.get("extra", "") != args.cov_extra:
+                    continue
                 tgt = cov[float(r["coverage"])]
             else:
                 arm = known_extras.get(r.get("extra", ""))
@@ -89,10 +103,10 @@ def main() -> int:
         print(f"WARNING: {n_fail} failed runs excluded\n")
 
     if arms:
-        print("## two-arm protocol (seeds x n)\n")
+        print("## arm protocol (seeds x n)\n")
         print("| arm | n | valid F1 | valid Acc | test F1 | test Acc |")
         print("|---|---|---|---|---|---|")
-        for name in ("flash_only", "shipping"):
+        for name in sorted(arms):
             a = arms.get(name)
             if not a:
                 continue
@@ -100,19 +114,23 @@ def main() -> int:
                   f"{fmt(a['v_acc'])} | {fmt(a['tef'])} | "
                   f"{fmt(a['te_acc'])} |")
         if len(arms) == 2:
-            t, dof = welch_t(arms["flash_only"]["tef"],
-                             arms["shipping"]["tef"])
-            print(f"\ntest-F1 Welch t (flash_only - shipping): "
+            na, nb = sorted(arms)
+            t, dof = welch_t(arms[na]["tef"], arms[nb]["tef"])
+            print(f"\ntest-F1 Welch t ({na} - {nb}): "
                   f"t={t:.2f}, dof={dof:.1f}")
 
     if cov:
         print("\n## coverage sweep (reference protocol, README.md:64)\n")
-        print("| coverage | n seeds | valid F1 | test F1 | test Acc |")
-        print("|---|---|---|---|---|")
+        print("| coverage | n seeds | valid F1 | test F1 | test Acc | "
+              "per-seed test F1 | converged (>=70) |")
+        print("|---|---|---|---|---|---|---|")
         for c in sorted(cov):
             a = cov[c]
+            per_seed = " / ".join(f"{x:.1f}" for x in sorted(a["tef"]))
+            n_conv = sum(x >= 70.0 for x in a["tef"])
             print(f"| {c:.2f} | {len(a['tef'])} | {fmt(a['vf'])} | "
-                  f"{fmt(a['tef'])} | {fmt(a['te_acc'])} |")
+                  f"{fmt(a['tef'])} | {fmt(a['te_acc'])} | {per_seed} | "
+                  f"{n_conv}/{len(a['tef'])} |")
     return 0
 
 

@@ -40,11 +40,13 @@ ARMS = {
 }
 
 
-def run_one(out_dir, seed, extra, coverage, epochs, log_path):
+def run_one(out_dir, seed, extra, coverage, epochs, log_path, lr=None):
     n_epochs = epochs
     cmd = [sys.executable, os.path.join(REPO, "tools/quality_smoke.py"),
            "--token_budget", "8192",
            "--seed", str(seed), "--out", out_dir]
+    if lr:
+        cmd += ["--lr", str(lr)]
     if extra:
         cmd += ["--extra", extra]
     if coverage is not None:
@@ -86,7 +88,26 @@ def main() -> int:
     ap.add_argument("--cov_seeds", default="999-1001")
     ap.add_argument("--skip_arms", action="store_true")
     ap.add_argument("--skip_coverage", action="store_true")
+    ap.add_argument("--pretrained", default=None,
+                    help="run the protocol FROM a pretrained init "
+                    "(a tools/pretrain_mlm.py checkpoint dir): replaces "
+                    "the two from-scratch arms with one pretrained arm "
+                    "and adds the init flags to every coverage run — "
+                    "the VERDICT-r3 de-lotteried protocol")
+    ap.add_argument("--lr", default=None,
+                    help="override quality_smoke's lr (pretrained "
+                    "fine-tuning wants a smaller one than from-scratch)")
+    ap.add_argument("--arm_extra", default=None,
+                    help="replace the arm table with one arm running "
+                    "these extra CLI flags (e.g. '--int8_train')")
     args = ap.parse_args()
+
+    global ARMS
+    if args.pretrained:
+        ARMS = {"pretrained": ("--tod_pre_trained_model %s "
+                               "--require_pretrained" % args.pretrained)}
+    elif args.arm_extra is not None:
+        ARMS = {"custom": args.arm_extra}
 
     os.makedirs(os.path.dirname(args.log), exist_ok=True)
 
@@ -121,7 +142,8 @@ def main() -> int:
             f"_c{cov}" if cov is not None else "")
         out_dir = os.path.join(os.path.dirname(args.log), tag)
         print(f"[{i+1}/{len(work)}] {tag}", flush=True)
-        run_one(out_dir, seed, extra, cov, args.epochs, args.log)
+        run_one(out_dir, seed, extra, cov, args.epochs, args.log,
+                lr=args.lr)
     return 0
 
 
