@@ -130,9 +130,13 @@ def main() -> int:
             for seed in parse_range(args.seeds):
                 work.append((seed, extra, None))
     if not args.skip_coverage:
+        # under --pretrained the coverage runs fine-tune FROM the
+        # pretrained init too (the de-lotteried sample-complexity
+        # protocol); from-scratch otherwise
+        cov_extra = ARMS["pretrained"] if args.pretrained else ""
         for cov in (0.05, 0.10, 0.20, 0.50):
             for seed in parse_range(args.cov_seeds):
-                work.append((seed, "", cov))
+                work.append((seed, cov_extra, cov))
 
     for i, (seed, extra, cov) in enumerate(work):
         if (seed, extra, cov) in done:
