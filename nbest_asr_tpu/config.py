@@ -97,6 +97,9 @@ class RunOptions:
     int8_train: bool = False              # int8 FORWARD GEMMs in the
     # training FFN megakernel (bf16 backward) — the measured int8
     # training probe (ops/fused_ffn.fused_ffn_block_int8_train)
+    int8_train_attn: bool = False         # extend --int8_train to the
+    # attention megakernel's QKV + out-proj GEMMs
+    # (ops/fused_attention.fused_attention_block_int8_train)
     flash_min_seq: int = 160              # flash-attention routing
     # threshold (bucketed seq >= this trains on the Pallas kernel);
     # serialized into the exp dir when non-default, dumped with the rest
@@ -264,6 +267,10 @@ def parse_arguments(argv=None) -> RunOptions:
                    help="int8 forward GEMMs in the training FFN "
                    "megakernel (bf16 backward); requires the fused FFN "
                    "kernel + bf16 compute")
+    p.add_argument("--int8_train_attn", action="store_true",
+                   help="also run the attention megakernel's QKV + "
+                   "out-proj forward GEMMs int8 (requires "
+                   "--fused_attn; independent of --int8_train)")
     p.add_argument("--flash_min_seq", type=int, default=d.flash_min_seq,
                    help="flash-attention routing threshold (bucketed "
                    "seq >= this trains on the Pallas kernel)")

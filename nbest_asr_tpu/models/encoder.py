@@ -75,6 +75,10 @@ class EncoderConfig:
     # activation quant, f32 accumulation) with the unchanged bf16
     # backward — the VERDICT-r3 int8-training probe
     # (ops/fused_ffn.fused_ffn_block_int8_train); CLI --int8_train
+    use_int8_train_attn: bool = False  # same recipe for the attention
+    # megakernel's QKV + out-proj forward GEMMs
+    # (ops/fused_attention.fused_attention_block_int8_train);
+    # CLI --int8_train_attn
     use_fused_attn_eval: bool = False  # also route the DETERMINISTIC
     # (eval/serving) bf16 forward through the attention megakernel
     # (dropout rate 0).  Off by default pending measurement: XLA's
@@ -325,6 +329,20 @@ def encoder_forward(params: dict, input_ids: jnp.ndarray,
                 p["attn_out_kernel"]["scale"], p["attn_out_bias"],
                 p["attn_ln_scale"], p["attn_ln_bias"], attn_mask,
                 n_heads=nh, eps=cfg.layer_norm_eps)
+        elif attn_kernel_ok and cfg.use_int8_train_attn \
+                and not deterministic:
+            from ..ops.fused_attention import \
+                fused_attention_block_int8_train
+
+            x = fused_attention_block_int8_train(
+                x, p["qkv_kernel"].astype(cdt), p["qkv_bias"],
+                p["attn_out_kernel"].astype(cdt), p["attn_out_bias"],
+                p["attn_ln_scale"], p["attn_ln_bias"], attn_mask,
+                n_heads=nh,
+                attn_dropout=cfg.attn_dropout,
+                hidden_dropout=cfg.hidden_dropout,
+                dropout_rng=jax.random.fold_in(lrng, 1),
+                eps=cfg.layer_norm_eps)
         elif attn_kernel_ok:
             from ..ops.fused_attention import fused_attention_block
 

@@ -369,6 +369,185 @@ def _fab_core_bwd(n_heads, attn_rate, hid_rate, eps, block_b, s_p,
 _fab_core.defvjp(_fab_core_fwd, _fab_core_bwd)
 
 
+# ===================================================================== #
+# int8-forward training variant (the VERDICT-r3 int8-training probe,
+# extended past the FFN): the QKV and out-proj GEMMs run int8×int8→int32
+# on the MXU — weights re-quantized per step from the live bf16 values,
+# per-token dynamic activation quant fused in VMEM, f32 accumulation —
+# while the attention math (scores/softmax/probs) and both dropouts stay
+# exactly the bf16 kernel's, at the same regenerable mask ids.  The
+# backward IS the unchanged bf16 sweep (`_fab_bwd_call`) fed the int8
+# forward's saved od/LN stats: straight-through w.r.t. quantization
+# except the LN/residual head, which differentiates through the ACTUAL
+# int8 output (the same contract as
+# `fused_ffn.fused_ffn_block_int8_train`).
+# ===================================================================== #
+
+def _dense_rows_i8(x32, wq_ref, ws_ref, b_ref):
+    """Per-token activation quant + int8 MXU dot + f32 dequant/bias
+    epilogue (quant.dense_int8 math on VMEM-resident tiles)."""
+    from .fused_ffn import _quant_rows_f32
+
+    xq, xs = _quant_rows_f32(x32)
+    acc = jax.lax.dot_general(xq, wq_ref[...], ((((1,), (0,))), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * xs * ws_ref[...] \
+        + b_ref[...].astype(jnp.float32)
+
+
+def _fab_fwd_kernel_i8(x_ref, wqkvq_ref, wqkvs_ref, bqkv_ref, woq_ref,
+                       wos_ref, bo_ref, ls_ref, lb_ref, mask_ref,
+                       seed_ref, y_ref, od_ref, mean_ref, rstd_ref,
+                       ctx_scr, *, n_heads: int, sm_scale: float,
+                       attn_rate: float, hid_rate: float, eps: float,
+                       block_b: int, s_p: int, s_kv: int):
+    """Stage order / cast points / dropout mask ids mirror
+    `_fab_fwd_kernel` exactly so the bf16 backward regenerates the same
+    masks."""
+    cdt = x_ref.dtype
+    f32 = jnp.float32
+    h = x_ref.shape[1]
+    d = h // n_heads
+    inv_a = 1.0 / (1.0 - attn_rate) if attn_rate > 0.0 else 1.0
+    inv_h = 1.0 / (1.0 - hid_rate) if hid_rate > 0.0 else 1.0
+
+    x2 = x_ref[...]
+    x32 = x2.astype(f32)
+    qkv = _dense_rows_i8(x32, wqkvq_ref, wqkvs_ref,
+                         bqkv_ref).astype(cdt)
+    for e in range(block_b):
+        elem = pl.program_id(0) * block_b + e
+        r0 = e * s_p
+        m = mask_ref[e, 0]
+        for i in range(n_heads):
+            p, _, _, v = _head_probs(qkv, r0, s_p, s_kv, h, d, i, m,
+                                     sm_scale)
+            if attn_rate > 0.0:
+                keep = _keep_mask(seed_ref, attn_rate,
+                                  elem * n_heads + i, p.shape)
+                p = jnp.where(keep, p * inv_a, 0.0)
+            ctx_scr[r0:r0 + s_p, i * d:(i + 1) * d] = _dot(
+                p.astype(cdt), v, ((1,), (0,))).astype(cdt)
+
+    out32 = _dense_rows_i8(ctx_scr[...].astype(f32), woq_ref, wos_ref,
+                           bo_ref)
+    out = out32.astype(cdt).astype(f32)
+    if hid_rate > 0.0:
+        out = _hidden_drop(out, seed_ref, hid_rate, inv_h, block_b,
+                           s_p, n_heads)
+    od_ref[...] = out.astype(od_ref.dtype)
+    s_res = out + x32
+    mean = jnp.mean(s_res, axis=1, keepdims=True)
+    c = s_res - mean
+    var = jnp.mean(c * c, axis=1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    y = c * rstd * ls_ref[...].astype(f32) + lb_ref[...].astype(f32)
+    y_ref[...] = y.astype(y_ref.dtype)
+    mean_ref[...] = jnp.broadcast_to(mean, mean_ref.shape)
+    rstd_ref[...] = jnp.broadcast_to(rstd, rstd_ref.shape)
+
+
+def _fab_fwd_call_i8(x2, wqkv, bqkv, wo, bo, ls, lb, mask2, seed,
+                     n_heads, attn_rate, hid_rate, eps, block_b, s_p):
+    from .quant import quantize_weight
+
+    n, h = x2.shape
+    R = block_b * s_p
+    s_kv = s_p
+    # weights re-quantized from the LIVE values every step (one cheap
+    # XLA pass; they change under the optimizer)
+    wqkvq, wqkvs = quantize_weight(wqkv.astype(jnp.float32), axis_in=-2)
+    woq, wos = quantize_weight(wo.astype(jnp.float32), axis_in=-2)
+    row_h, _, wqkv_s, wo_s, vec_3h, vec_h, mask_s, stat, seed_s = \
+        _fab_specs(R, h, block_b, s_kv)
+    grid = (n // R,)
+    return pl.pallas_call(
+        functools.partial(
+            _fab_fwd_kernel_i8, n_heads=n_heads,
+            sm_scale=1.0 / float(h // n_heads) ** 0.5,
+            attn_rate=attn_rate, hid_rate=hid_rate, eps=eps,
+            block_b=block_b, s_p=s_p, s_kv=s_kv),
+        grid=grid,
+        in_specs=[row_h, wqkv_s, vec_3h, vec_3h, wo_s, vec_h, vec_h,
+                  vec_h, vec_h, mask_s, seed_s],
+        out_specs=(row_h, row_h, stat, stat),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, h), x2.dtype),
+            jax.ShapeDtypeStruct((n, h), x2.dtype),
+            jax.ShapeDtypeStruct((n, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n, LANES), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((R, h), x2.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+    )(x2, wqkvq, wqkvs.reshape(1, 3 * h), bqkv.reshape(1, 3 * h), woq,
+      wos.reshape(1, h), bo.reshape(1, h), ls.reshape(1, h),
+      lb.reshape(1, h), mask2, seed)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13,
+                                                    14))
+def _fab_core_i8(x2, wqkv, bqkv, wo, bo, ls, lb, mask2, seed,
+                 n_heads, attn_rate, hid_rate, eps, block_b, s_p):
+    y, _, _, _ = _fab_fwd_call_i8(x2, wqkv, bqkv, wo, bo, ls, lb, mask2,
+                                  seed, n_heads, attn_rate, hid_rate,
+                                  eps, block_b, s_p)
+    return y
+
+
+def _fab_core_i8_fwd(x2, wqkv, bqkv, wo, bo, ls, lb, mask2, seed,
+                     n_heads, attn_rate, hid_rate, eps, block_b, s_p):
+    y, od, mean, rstd = _fab_fwd_call_i8(
+        x2, wqkv, bqkv, wo, bo, ls, lb, mask2, seed, n_heads,
+        attn_rate, hid_rate, eps, block_b, s_p)
+    # identical residual tuple to the bf16 core: the backward IS the
+    # bf16 backward (`_fab_core_bwd`), fed the int8 forward's saved
+    # od/LN stats
+    return y, (x2, wqkv, bqkv, wo, bo, ls, lb, mask2, seed, od, mean,
+               rstd)
+
+
+_fab_core_i8.defvjp(_fab_core_i8_fwd, _fab_core_bwd)
+
+
+def fused_attention_block_int8_train(x: jnp.ndarray, wqkv, bqkv, wo, bo,
+                                     ln_scale, ln_bias, attn_mask, *,
+                                     n_heads: int,
+                                     attn_dropout: float = 0.0,
+                                     hidden_dropout: float = 0.0,
+                                     dropout_rng=None,
+                                     eps: float = 1e-12) -> jnp.ndarray:
+    """`fused_attention_block` with int8 forward GEMMs / bf16 backward
+    (CLI ``--int8_train_attn``).  Same shape/lane requirements."""
+    b, s, h = x.shape
+    s_p = _round_up(s, 16)
+    block_b = max(1, 128 // s_p)
+    b_pad = _round_up(b, block_b)
+    s_kv = s_p
+
+    a_rate = float(attn_dropout)
+    h_rate = float(hidden_dropout)
+    if a_rate > 0.0 or h_rate > 0.0:
+        if dropout_rng is None:
+            raise ValueError("fused_attention_block_int8_train: dropout "
+                             "requires dropout_rng")
+        seed = jax.random.bits(dropout_rng, (1,), "uint32").astype(
+            jnp.int32)
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
+
+    xp = x
+    if b_pad != b or s_p != s:
+        xp = jnp.pad(x, ((0, b_pad - b), (0, s_p - s), (0, 0)))
+    mask2 = jnp.pad(attn_mask.astype(jnp.float32),
+                    ((0, b_pad - b), (0, s_kv - s)))[:, None, :]
+    x2 = xp.reshape(b_pad * s_p, h)
+    y = _fab_core_i8(x2, wqkv, bqkv, wo, bo, ln_scale, ln_bias, mask2,
+                     seed, int(n_heads), a_rate, h_rate, float(eps),
+                     block_b, s_p)
+    return y.reshape(b_pad, s_p, h)[:b, :s]
+
+
 def fused_attention_block(x: jnp.ndarray, wqkv, bqkv, wo, bo, ln_scale,
                           ln_bias, attn_mask, *, n_heads: int,
                           attn_dropout: float = 0.0,

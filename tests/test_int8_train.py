@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental.pallas import tpu as pltpu
 
+from nbest_asr_tpu.ops.fused_attention import (
+    fused_attention_block, fused_attention_block_int8_train)
 from nbest_asr_tpu.ops.fused_ffn import (fused_ffn_block,
                                          fused_ffn_block_int8_train)
 from nbest_asr_tpu.ops.layers import gelu, layer_norm
@@ -98,6 +100,154 @@ def test_int8_backward_is_straight_through():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-3,
             err_msg=f"grad {name}")
+
+
+# --------------------------------------------------------------------- #
+# attention megakernel int8-forward variant (--int8_train_attn)
+# --------------------------------------------------------------------- #
+
+AH, AHEADS = 128, 2
+
+
+def _attn_inputs(b=2, s=48, seed=7):
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(b, s, AH) * 0.5, jnp.float32)
+    wqkv = jnp.asarray(rng.randn(AH, 3 * AH) * 0.05, jnp.float32)
+    bqkv = jnp.asarray(rng.randn(3 * AH) * 0.02, jnp.float32)
+    wo = jnp.asarray(rng.randn(AH, AH) * 0.05, jnp.float32)
+    bo = jnp.asarray(rng.randn(AH) * 0.02, jnp.float32)
+    ls = jnp.asarray(1.0 + 0.1 * rng.randn(AH), jnp.float32)
+    lb = jnp.asarray(0.1 * rng.randn(AH), jnp.float32)
+    mask = jnp.asarray(
+        (np.arange(s)[None, :] < np.array([s, s - 9])[:, None]),
+        jnp.float32)
+    return x, wqkv, bqkv, wo, bo, ls, lb, mask
+
+
+def _attn_core_fp(x, wqkv, bqkv, wo, bo, mask, *, qkv_fn, out_fn):
+    """Attention block pre-LN output with pluggable GEMMs (full precision
+    or int8 XLA chain); softmax math mirrors the kernel's."""
+    b, s, h = x.shape
+    d = h // AHEADS
+    qkv = qkv_fn(x, wqkv, bqkv)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    outs = []
+    for i in range(AHEADS):
+        qi = q[..., i * d:(i + 1) * d]
+        ki = k[..., i * d:(i + 1) * d]
+        vi = v[..., i * d:(i + 1) * d]
+        s_ = jnp.einsum("bqd,bkd->bqk", qi, ki) / float(d) ** 0.5
+        s_ = jnp.where(mask[:, None, :] > 0, s_, -0.7 * float(
+            np.finfo(np.float32).max))
+        mx = jnp.max(s_, axis=-1, keepdims=True)
+        p = jnp.exp(s_ - mx)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        outs.append(jnp.einsum("bqk,bkd->bqd", p, vi))
+    ctx = jnp.concatenate(outs, axis=-1)
+    return out_fn(ctx, wo, bo)
+
+
+def test_int8_attn_forward_matches_quantized_oracle():
+    x, wqkv, bqkv, wo, bo, ls, lb, mask = _attn_inputs()
+    wq, ws = quantize_weight(wqkv, axis_in=-2)
+    woq, wos = quantize_weight(wo, axis_in=-2)
+    with pltpu.force_tpu_interpret_mode(), \
+            jax.default_matmul_precision("highest"):
+        out = fused_attention_block_int8_train(
+            x, wqkv, bqkv, wo, bo, ls, lb, mask, n_heads=AHEADS,
+            eps=EPS)
+        pre = _attn_core_fp(
+            x, wqkv, bqkv, wo, bo, mask,
+            qkv_fn=lambda a, w, b_: dense_int8(a, wq, ws, b_),
+            out_fn=lambda a, w, b_: dense_int8(a, woq, wos, b_))
+        ref = layer_norm(x + pre, ls, lb, EPS)
+        full = fused_attention_block(
+            x, wqkv, bqkv, wo, bo, ls, lb, mask, n_heads=AHEADS,
+            eps=EPS)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=1e-4)
+    # and it is genuinely quantized
+    assert np.max(np.abs(np.asarray(out) - np.asarray(full))) > 1e-3
+
+
+def test_int8_attn_backward_is_straight_through():
+    """Same contract as the FFN variant: gradients as if the forward
+    were full precision (the bf16 backward sweep), except the
+    LN/residual head which differentiates through the ACTUAL int8
+    pre-residual output."""
+    x, wqkv, bqkv, wo, bo, ls, lb, mask = _attn_inputs(seed=11)
+
+    def hybrid_oracle(x, wqkv, bqkv, wo, bo, ls, lb):
+        wq, ws = quantize_weight(wqkv, axis_in=-2)
+        woq, wos = quantize_weight(wo, axis_in=-2)
+        out_i8 = _attn_core_fp(
+            x, wqkv, bqkv, wo, bo, mask,
+            qkv_fn=lambda a, w, b_: dense_int8(a, wq, ws, b_),
+            out_fn=lambda a, w, b_: dense_int8(a, woq, wos, b_))
+        out_fp = _attn_core_fp(
+            x, wqkv, bqkv, wo, bo, mask,
+            qkv_fn=lambda a, w, b_: a @ w + b_,
+            out_fn=lambda a, w, b_: a @ w + b_)
+        out = out_fp + jax.lax.stop_gradient(out_i8 - out_fp)
+        return layer_norm(x + out, ls, lb, EPS)
+
+    def loss_kernel(*a):
+        return jnp.sum(fused_attention_block_int8_train(
+            *a, mask, n_heads=AHEADS, eps=EPS) ** 2)
+
+    def loss_oracle(*a):
+        return jnp.sum(hybrid_oracle(*a) ** 2)
+
+    with pltpu.force_tpu_interpret_mode(), \
+            jax.default_matmul_precision("highest"):
+        g_k = jax.grad(loss_kernel, argnums=tuple(range(7)))(
+            x, wqkv, bqkv, wo, bo, ls, lb)
+        g_o = jax.grad(loss_oracle, argnums=tuple(range(7)))(
+            x, wqkv, bqkv, wo, bo, ls, lb)
+    names = ("x", "wqkv", "bqkv", "wo", "bo", "ls", "lb")
+    for name, a, b in zip(names, g_k, g_o):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-3,
+            err_msg=f"grad {name}")
+
+
+def test_encoder_routes_int8_train_attn():
+    """use_int8_train_attn routes the TRAINING forward through the int8
+    attention kernel (close to but measurably off the bf16 path) and
+    leaves the deterministic eval forward bit-identical."""
+    from nbest_asr_tpu.models.encoder import (EncoderConfig,
+                                              encoder_forward,
+                                              init_encoder_params)
+
+    cfg_kw = dict(vocab_size=97, hidden_size=128, num_layers=2,
+                  num_heads=2, intermediate_size=256, max_position=64,
+                  hidden_dropout=0.0, attn_dropout=0.0,
+                  use_fused_attn=True)
+    cfg_bf = EncoderConfig(**cfg_kw)
+    cfg_i8 = EncoderConfig(use_int8_train_attn=True, **cfg_kw)
+    params = init_encoder_params(jax.random.PRNGKey(0), cfg_bf)
+    rng = np.random.RandomState(5)
+    ids = jnp.asarray(rng.randint(0, 97, (2, 24)), jnp.int32)
+    mask = jnp.asarray(rng.rand(2, 24) > 0.2, jnp.float32)
+    mask = mask.at[:, 0].set(1.0)
+    key = jax.random.PRNGKey(1)
+
+    with pltpu.force_tpu_interpret_mode():
+        tr_bf = encoder_forward(params, ids, mask, None, cfg_bf,
+                                deterministic=False, rng=key)
+        tr_i8 = encoder_forward(params, ids, mask, None, cfg_i8,
+                                deterministic=False, rng=key)
+    d = float(np.max(np.abs(np.asarray(tr_i8, np.float32)
+                            - np.asarray(tr_bf, np.float32))))
+    assert 1e-6 < d < 0.5, d
+
+    # eval stays on the full-precision XLA path — bit-identical (and a
+    # Pallas route here would crash outside the interpret context)
+    ev_bf = encoder_forward(params, ids, mask, None, cfg_bf,
+                            deterministic=True)
+    ev_i8 = encoder_forward(params, ids, mask, None, cfg_i8,
+                            deterministic=True)
+    np.testing.assert_array_equal(np.asarray(ev_bf), np.asarray(ev_i8))
 
 
 def test_int8_train_requires_nonstreaming_layout():

@@ -613,6 +613,86 @@ def main(record_path: "str | None" = None) -> int:
           f"by key")
     record("fused_attn dropout varies by key", ok_var, float(ok_var))
 
+    # ---- int8-forward TRAINING attention megakernel ------------------- #
+    # Same contract as the FFN int8-train checks: forward == the
+    # quantized XLA chain; gradients == the straight-through hybrid
+    # (LN head through the actual int8 out, GEMM/attention chain
+    # through full precision); genuinely quantized; dropout
+    # deterministic.  bf16 production dtype, reusing the part-1 shapes.
+    from nbest_asr_tpu.ops.fused_attention import \
+        fused_attention_block_int8_train
+    from nbest_asr_tpu.ops.quant import dense_int8 as _di8
+    from nbest_asr_tpu.ops.quant import quantize_weight as _qw
+
+    def fab_i8_chain(x_, wq_, wo_):
+        wqq_, wqs_ = _qw(wq_.astype(jnp.float32), axis_in=-2)
+        woq_, wos_ = _qw(wo_.astype(jnp.float32), axis_in=-2)
+        qkv_ = _di8(x_, wqq_, wqs_, bqkv)
+        q_, k_, v_ = jnp.split(qkv_, 3, axis=-1)
+        ctx_ = multi_head_attention(
+            q_.reshape(ba, sa, nha, da), k_.reshape(ba, sa, nha, da),
+            v_.reshape(ba, sa, nha, da), mk_a,
+            deterministic=True).reshape(ba, sa, ha)
+        return _di8(ctx_, woq_, wos_, bo_a)
+
+    def fab_fp_chain(x_, wq_, wo_):
+        f32 = jnp.float32
+        qkv_ = (jnp.einsum("bsk,km->bsm", x_, wq_,
+                           preferred_element_type=f32)
+                + bqkv.astype(f32)).astype(x_.dtype)
+        q_, k_, v_ = jnp.split(qkv_, 3, axis=-1)
+        ctx_ = multi_head_attention(
+            q_.reshape(ba, sa, nha, da), k_.reshape(ba, sa, nha, da),
+            v_.reshape(ba, sa, nha, da), mk_a,
+            deterministic=True).reshape(ba, sa, ha)
+        return (jnp.einsum("bsk,km->bsm", ctx_, wo_,
+                           preferred_element_type=f32)
+                + bo_a.astype(f32)).astype(x_.dtype)
+
+    def fab_i8_oracle(x_, wq_, wo_):
+        f32 = jnp.float32
+        out_i8 = fab_i8_chain(x_, wq_, wo_).astype(f32)
+        out_fp = fab_fp_chain(x_, wq_, wo_).astype(f32)
+        out_ = out_fp + jax.lax.stop_gradient(out_i8 - out_fp)
+        return layer_norm(out_ + x_.astype(f32), ls_a, lb_a, 1e-12)
+
+    got_ai = jax.jit(lambda x_, a_, c_: fused_attention_block_int8_train(
+        x_, a_, bqkv, c_, bo_a, ls_a, lb_a, mk_a, n_heads=nha))(
+        xab, wqb, wob)
+    with jax.default_matmul_precision("highest"):
+        want_ai = layer_norm(
+            fab_i8_chain(xab, wqb, wob).astype(jnp.float32)
+            + xab.astype(jnp.float32), ls_a, lb_a, 1e-12)
+    check_rel("int8_train_attn fwd vs quantized XLA chain", got_ai,
+              want_ai, 0.02)
+    bf16_afwd = jax.jit(lambda x_, a_, c_: fused_attention_block(
+        x_, a_, bqkv, c_, bo_a, ls_a, lb_a, mk_a, n_heads=nha))(
+        xab, wqb, wob)
+    diff_aq = float(np.abs(np.asarray(got_ai, np.float32)
+                           - np.asarray(bf16_afwd, np.float32)).max())
+    ok_aq = diff_aq > 1e-3
+    print(f"{'PASS' if ok_aq else 'FAIL'}  int8_train_attn is quantized "
+          f"(differs from bf16 fwd by {diff_aq:.2e})")
+    record("int8_train_attn is quantized", ok_aq, diff_aq)
+
+    g_ai = jax.jit(jax.grad(floss(
+        lambda x_, a_, c_: fused_attention_block_int8_train(
+            x_, a_, bqkv, c_, bo_a, ls_a, lb_a, mk_a, n_heads=nha)),
+        argnums=(0, 1, 2)))(xab, wqb, wob)
+    with jax.default_matmul_precision("highest"):
+        g_aio = jax.grad(floss(fab_i8_oracle), argnums=(0, 1, 2))(
+            xab, wqb, wob)
+    for a, b_, nm in zip(g_ai, g_aio, ("dx", "dwqkv", "dwo")):
+        check_rel(f"int8_train_attn {nm} vs straight-through oracle",
+                  a, b_, 0.05)
+
+    i8a_drop = jax.jit(lambda k_: fused_attention_block_int8_train(
+        xab, wqb, bqkv, wob, bo_a, ls_a, lb_a, mk_a, n_heads=nha,
+        attn_dropout=rate_a, hidden_dropout=rate_a, dropout_rng=k_))
+    ia1 = i8a_drop(key_a)
+    ia2 = i8a_drop(key_a)
+    check("int8_train_attn dropout determinism", ia1, ia2, 0.0)
+
     # ---- int8 serving megakernels (vs the XLA dense_int8 oracle) ----- #
     from nbest_asr_tpu.ops.int8_serving import (int8_attention_block,
                                                 int8_ffn_block)
