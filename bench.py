@@ -122,10 +122,12 @@ def main() -> None:
         use_flash_attention=resolve_flash(None),
         use_fused_ffn=resolve_flash(None),
         use_fused_attn=resolve_flash(None),
-        # NBEST_BENCH_INT8=1 probes the int8-forward training FFN
-        # (--int8_train): same harness, same buckets, one flag
+        # NBEST_BENCH_INT8=1 probes the int8-forward training config
+        # (--int8_train --int8_train_attn): same harness, same buckets
         use_int8_train=bool(int(os.environ.get("NBEST_BENCH_INT8",
-                                               "0"))))
+                                               "0"))),
+        use_int8_train_attn=bool(int(os.environ.get("NBEST_BENCH_INT8",
+                                                    "0"))))
     cfg = ModelConfig(encoder=enc, n_top=memory.n_top,
                       n_bottom=memory.n_bottom)
     # init on the CPU backend: dozens of tiny init compiles would each

@@ -447,17 +447,21 @@ def _fwd_call_i8(x2, w1, b1, w2, b2, ls, lb, seed, rate, eps):
     w1q, w1s = quantize_weight(w1.astype(jnp.float32), axis_in=-2)
     w2q, w2s = quantize_weight(w2.astype(jnp.float32), axis_in=-2)
     bn = min(_block_rows(x2.dtype, bwd=False), n)
-    row_h = pl.BlockSpec((bn, h), lambda i: (i, 0))
-    vec_h = pl.BlockSpec((1, h), lambda i: (0, 0))
-    vec_it = pl.BlockSpec((1, inter), lambda i: (0, 0))
-    stat = pl.BlockSpec((bn, LANES), lambda i: (i, 0))
+    # 2-D (rows, 1) grid: `_mask_ids` keys dropout masks off grid axis 1
+    # (the bf16 forward's inter-slice axis) — the int8 layout is always
+    # non-streaming (n_j == 1), but the axis must exist or tracing the
+    # dropout path fails with "Axis 1 is out of bounds"
+    row_h = pl.BlockSpec((bn, h), lambda i, j: (i, 0))
+    vec_h = pl.BlockSpec((1, h), lambda i, j: (0, 0))
+    vec_it = pl.BlockSpec((1, inter), lambda i, j: (0, 0))
+    stat = pl.BlockSpec((bn, LANES), lambda i, j: (i, 0))
     y, y2d, mean, rstd = pl.pallas_call(
         functools.partial(_fwd_kernel_i8, rate=rate, eps=eps),
-        grid=(n // bn,),
+        grid=(n // bn, 1),
         in_specs=[row_h,
-                  pl.BlockSpec((h, inter), lambda i: (0, 0)), vec_it,
+                  pl.BlockSpec((h, inter), lambda i, j: (0, 0)), vec_it,
                   vec_it,
-                  pl.BlockSpec((inter, h), lambda i: (0, 0)), vec_h,
+                  pl.BlockSpec((inter, h), lambda i, j: (0, 0)), vec_h,
                   vec_h, vec_h, vec_h,
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=(row_h, row_h, stat, stat),
@@ -468,7 +472,7 @@ def _fwd_call_i8(x2, w1, b1, w2, b2, ls, lb, seed, rate, eps):
             jax.ShapeDtypeStruct((n, LANES), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+            dimension_semantics=("parallel", "arbitrary")),
     )(x2, w1q, w1s.reshape(1, inter), b1.reshape(1, inter), w2q,
       w2s.reshape(1, h), b2.reshape(1, h), ls.reshape(1, h),
       lb.reshape(1, h), seed)

@@ -102,6 +102,36 @@ def test_int8_backward_is_straight_through():
             err_msg=f"grad {name}")
 
 
+def test_int8_ffn_dropout_traces_and_masks_match_bf16():
+    """Regression: the int8 forward launches on the same 2-D
+    (rows, inter-slice) grid geometry `_mask_ids` expects — with a 1-D
+    grid the dropout path failed to TRACE at all ("Axis 1 is out of
+    bounds for grid"), so `--int8_train` crashed the CLI the moment
+    bert_dropout > 0.  Also pins mask CONSISTENCY with the bf16 kernel:
+    same seed => same keep-masks, so i8-vs-bf16 forward outputs differ
+    only by quantization error (a mask mismatch zeroes different rows
+    and shows up as O(1) diffs), and the shared bf16 backward
+    regenerates the right masks (finite, deterministic grads)."""
+    args = _inputs(n=128, seed=5)
+    key = jax.random.PRNGKey(9)
+    kw = dict(dropout_rate=0.5, dropout_rng=key, eps=EPS)
+    with pltpu.force_tpu_interpret_mode(), \
+            jax.default_matmul_precision("highest"):
+        y_a = fused_ffn_block_int8_train(*args, **kw)
+        y_b = fused_ffn_block_int8_train(*args, **kw)
+        y_bf = fused_ffn_block(*args, **kw)
+        g = jax.grad(lambda *a: jnp.sum(
+            fused_ffn_block_int8_train(*a, **kw) ** 2),
+            argnums=tuple(range(7)))(*args)
+    np.testing.assert_array_equal(np.asarray(y_a), np.asarray(y_b))
+    np.testing.assert_allclose(np.asarray(y_a), np.asarray(y_bf),
+                               atol=2e-2,
+                               err_msg="dropout masks diverged between "
+                               "the int8 and bf16 forwards")
+    for a in g:
+        assert np.all(np.isfinite(np.asarray(a)))
+
+
 # --------------------------------------------------------------------- #
 # attention megakernel int8-forward variant (--int8_train_attn)
 # --------------------------------------------------------------------- #

@@ -83,7 +83,12 @@ def main():
     ap.add_argument("--dual_stream", action="store_true",
                     help="train-step probe with the transcript stream on "
                     "(--add_l2_loss config); default single-stream")
+    ap.add_argument("--int8_train", action="store_true",
+                    help="int8 forward GEMMs in the attention + FFN "
+                    "megakernels (implies --fused_attn --fused_ffn)")
     args = ap.parse_args()
+    if args.int8_train:
+        args.fused_attn = args.fused_ffn = True
     what = set(args.what.split(","))
 
     import jax
@@ -105,6 +110,8 @@ def main():
                         use_flash_attention=args.flash_step,
                         use_fused_ffn=args.fused_ffn,
                         use_fused_attn=args.fused_attn,
+                        use_int8_train=args.int8_train,
+                        use_int8_train_attn=args.int8_train,
                         remat=args.remat)
     cfg = ModelConfig(encoder=enc, n_top=30, n_bottom=161)
     cpu = jax.devices("cpu")[0]
