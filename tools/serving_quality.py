@@ -23,6 +23,7 @@ Run (TPU):
 from __future__ import annotations
 
 import argparse
+import glob
 import json
 import os
 import sys
@@ -108,9 +109,17 @@ def main() -> int:
     Memory.from_torch_pt(os.path.join(REF_RAW, "memory.pt")).save(mem_path)
     memory = Memory.load(mem_path)
 
-    exp_dir = os.path.join(args.out, "exp")
-    ckpt = os.path.join(exp_dir, "model.ckpt")
-    if not (args.reuse and os.path.exists(ckpt)):
+    # the CLI derives a nested exp name under --experiment
+    # (utils/exp_dir.py) — discover the trained dir by its model.ckpt
+    exp_root = os.path.join(args.out, "exp")
+
+    def find_exp_dir():
+        hits = sorted(glob.glob(os.path.join(exp_root, "**", "model.ckpt"),
+                                recursive=True))
+        return os.path.dirname(hits[-1]) if hits else None
+
+    exp_dir = find_exp_dir()
+    if not (args.reuse and exp_dir):
         from nbest_asr_tpu.cli import main as cli_main
 
         rc = cli_main([
@@ -126,10 +135,15 @@ def main() -> int:
             "--length_buckets", "96,160,256",
             "--token_budget", "8192",
             "--add_segment_ids", "--eval_artifacts", "none",
-            "--experiment", exp_dir,
+            "--experiment", exp_root,
         ] + (args.extra.split() if args.extra else []))
         if rc != 0:
             return rc
+        exp_dir = find_exp_dir()
+        if exp_dir is None:
+            print(f"no model.ckpt produced under {exp_root}",
+                  file=sys.stderr)
+            return 1
 
     # rebuild the model config exactly like the CLI run did
     from nbest_asr_tpu.config import parse_arguments
