@@ -1,6 +1,6 @@
 # Convenience targets; everything also works without make.
 
-.PHONY: test native bench smoke clean
+.PHONY: test native bench smoke tpu-check clean
 
 test:
 	python -m pytest tests/ -q
@@ -11,6 +11,9 @@ native:
 
 bench:
 	python bench.py
+
+tpu-check:
+	python tools/tpu_kernel_check.py --record TPUCHECK.json
 
 smoke:
 	python tools/quality_smoke.py --epochs 30
