@@ -123,11 +123,14 @@ def main() -> None:
         use_fused_ffn=resolve_flash(None),
         use_fused_attn=resolve_flash(None),
         # NBEST_BENCH_INT8=1 probes the int8-forward training config
-        # (--int8_train --int8_train_attn): same harness, same buckets
+        # (--int8_train --int8_train_attn); =2 adds the int8 FFN
+        # backward (--int8_train_bwd).  Same harness, same buckets.
         use_int8_train=bool(int(os.environ.get("NBEST_BENCH_INT8",
                                                "0"))),
         use_int8_train_attn=bool(int(os.environ.get("NBEST_BENCH_INT8",
-                                                    "0"))))
+                                                    "0"))),
+        use_int8_train_bwd=int(os.environ.get("NBEST_BENCH_INT8",
+                                              "0")) >= 2)
     cfg = ModelConfig(encoder=enc, n_top=memory.n_top,
                       n_bottom=memory.n_bottom)
     # init on the CPU backend: dozens of tiny init compiles would each

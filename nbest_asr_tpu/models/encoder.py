@@ -75,6 +75,9 @@ class EncoderConfig:
     # activation quant, f32 accumulation) with the unchanged bf16
     # backward — the VERDICT-r3 int8-training probe
     # (ops/fused_ffn.fused_ffn_block_int8_train); CLI --int8_train
+    use_int8_train_bwd: bool = False   # ALSO run the FFN backward's
+    # dgrad + recompute GEMMs int8 (ops/fused_ffn._bwd_kernel_i8);
+    # requires use_int8_train; CLI --int8_train_bwd
     use_int8_train_attn: bool = False  # same recipe for the attention
     # megakernel's QKV + out-proj forward GEMMs
     # (ops/fused_attention.fused_attention_block_int8_train);
@@ -404,7 +407,8 @@ def encoder_forward(params: dict, input_ids: jnp.ndarray,
                 p["ffn_ln_scale"], p["ffn_ln_bias"],
                 dropout_rate=cfg.hidden_dropout,
                 dropout_rng=jax.random.fold_in(lrng, 3),
-                eps=cfg.layer_norm_eps)
+                eps=cfg.layer_norm_eps,
+                int8_bwd=cfg.use_int8_train_bwd)
             return (x, layer_idx + 1), None
         if ffn_kernel_ok and not ffn_quantized:
             from ..ops.fused_ffn import fused_ffn_block

@@ -498,11 +498,151 @@ def _ffn_core_i8_fwd(x2, w1, b1, w2, b2, ls, lb, seed, rate, eps):
 _ffn_core_i8.defvjp(_ffn_core_i8_fwd, _ffn_core_bwd)
 
 
+# --------------------------------------------------------------------- #
+# int8 BACKWARD variant (``--int8_train_bwd``): the backward sweep's
+# three in-kernel GEMMs also run int8 on the MXU —
+#   (C) the forward recompute x@W1 reuses the forward's int8 recipe, so
+#       the regenerated h/gd now match the int8 forward's EXACTLY
+#       (the bf16 backward recomputes them in bf16 — a documented
+#       straight-through mismatch this variant removes);
+#   (A) dgrad dy2@W2^T and (B) dx += dh@W1^T contract over the weights'
+#       OUTPUT axis, where per-output-channel scales cannot factor out
+#       of the int8 dot — they fold exactly into the incoming gradient
+#       before its per-token quantization (`quant.dgrad_int8` math).
+# Weights are quantized once per step from the live bf16 values — the
+# SAME quantization the int8 forward used.  The row-local LN/residual
+# head (ds), all dropout masks, and the XLA wgrad/bias/LN-param
+# reductions stay exactly the bf16 backward's.  What is approximated is
+# only the per-token rounding of scaled gradients entering A and B.
+# --------------------------------------------------------------------- #
+
+def _dgrad_rows_i8(g32, wq_ref, ws_ref):
+    """g @ dequant(wq)^T with the per-output scales folded into g before
+    per-token quant (quant.dgrad_int8 math on VMEM-resident tiles)."""
+    gs = g32 * ws_ref[...]
+    gq, gscale = _quant_rows_f32(gs)
+    acc = jax.lax.dot_general(gq, wq_ref[...], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * gscale
+
+
+def _bwd_kernel_i8(x_ref, w1q_ref, w1s_ref, b1_ref, w2q_ref, w2s_ref,
+                   ls_ref, seed_ref, mean_ref, rstd_ref, y2d_ref, dy_ref,
+                   dx_ref, dh_ref, gd_ref, dy2_ref, xhat_ref, dx_scr,
+                   *, rate: float):
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+    cdt = x_ref.dtype
+    inv_keep = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
+
+    xhat, ds, dy2 = _row_grads(x_ref, y2d_ref, dy_ref, ls_ref,
+                               mean_ref, rstd_ref, seed_ref, rate,
+                               inv_keep)
+
+    @pl.when(j == 0)
+    def _init():
+        dx_scr[...] = ds  # residual branch — unquantized, exact
+
+    x32 = x_ref[...].astype(jnp.float32)
+    # (C) int8 forward recompute: identical math (and dropout ids) to
+    # _fwd_kernel_i8, so gd here == the int8 forward's gd bit-for-bit
+    h32 = _dense_i8_f32(x32, w1q_ref, w1s_ref, b1_ref)
+    h = h32.astype(cdt)
+    g32 = _gelu_f32(h.astype(jnp.float32))
+    if rate > 0.0:
+        s1, _ = _mask_ids(x32.shape[0])
+        g32 = _drop(g32, seed_ref, rate, s1, inv_keep)
+    gd = g32.astype(cdt)
+
+    # (A) int8 dgrad through W2
+    dgd = _dgrad_rows_i8(dy2, w2q_ref, w2s_ref)          # (R, IT)
+    if rate > 0.0:
+        s1, _ = _mask_ids(x32.shape[0])
+        dgd = _drop(dgd, seed_ref, rate, s1, inv_keep)
+    dh = dgd * _gelu_grad_f32(h.astype(jnp.float32))
+    # (B) int8 dgrad through W1
+    dx_scr[...] += _dgrad_rows_i8(dh, w1q_ref, w1s_ref)
+
+    dh_ref[...] = dh.astype(cdt)
+    gd_ref[...] = gd
+
+    @pl.when(j == n_j - 1)
+    def _emit():
+        dx_ref[...] = dx_scr[...].astype(dx_ref.dtype)
+        dy2_ref[...] = dy2.astype(dy2_ref.dtype)
+        xhat_ref[...] = xhat.astype(xhat_ref.dtype)
+
+
+def _bwd_call_i8(x2, w1, b1, w2, ls, seed, mean, rstd, y2d, dy, rate):
+    from .quant import quantize_weight
+
+    n, h = x2.shape
+    inter = w1.shape[1]
+    # the same per-step quantization the int8 forward computed
+    w1q, w1s = quantize_weight(w1.astype(jnp.float32), axis_in=-2)
+    w2q, w2s = quantize_weight(w2.astype(jnp.float32), axis_in=-2)
+    # int8 weights free ~4.9 MB of VMEM vs the bf16 backward, so the
+    # i8 backward runs full 128-row blocks (the bf16 bwd's 64-row limit
+    # was weight+tile residency); mask ids are 64-row-granular by
+    # design, so fwd/bwd dropout masks stay consistent at any block
+    bn = min(BLOCK_ROWS, n)
+    it = inter  # int8-train requires the non-streaming layout
+    row_h, row_it, w1spec, w2spec, vec_h, vec_it, stat, seed_s = _specs(
+        bn, h, it)
+    grid = (n // bn, inter // it)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel_i8, rate=rate),
+        grid=grid,
+        in_specs=[row_h, w1spec, vec_it, vec_it, w2spec, vec_h, vec_h,
+                  seed_s, stat, stat, row_h, row_h],
+        out_specs=(row_h, row_it, row_it, row_h, row_h),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, h), x2.dtype),
+            jax.ShapeDtypeStruct((n, inter), x2.dtype),
+            jax.ShapeDtypeStruct((n, inter), x2.dtype),
+            jax.ShapeDtypeStruct((n, h), x2.dtype),
+            jax.ShapeDtypeStruct((n, h), x2.dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((bn, h), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+    )(x2, w1q, w1s.reshape(1, inter), b1.reshape(1, inter), w2q,
+      w2s.reshape(1, h), ls.reshape(1, h), seed, mean, rstd, y2d, dy)
+
+
+def _ffn_core_i8_bwd(rate, eps, res, dy):
+    x2, w1, b1, w2, b2, ls, lb, seed, y2d, mean, rstd = res
+    dx, dh, gd, dy2, xhat = _bwd_call_i8(x2, w1, b1, w2, ls, seed,
+                                         mean, rstd, y2d, dy, rate)
+    f32 = jnp.float32
+    dw1 = jnp.einsum("nk,nm->km", x2, dh,
+                     preferred_element_type=f32).astype(w1.dtype)
+    db1 = jnp.sum(dh.astype(f32), axis=0).astype(b1.dtype)
+    dw2 = jnp.einsum("nm,nk->mk", gd, dy2,
+                     preferred_element_type=f32).astype(w2.dtype)
+    db2 = jnp.sum(dy2.astype(f32), axis=0).astype(b2.dtype)
+    dy32 = dy.astype(f32)
+    dls = jnp.sum(dy32 * xhat.astype(f32), axis=0).astype(ls.dtype)
+    dlb = jnp.sum(dy32, axis=0).astype(lb.dtype)
+    return (dx, dw1, db1, dw2, db2, dls, dlb, None)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def _ffn_core_i8b(x2, w1, b1, w2, b2, ls, lb, seed, rate, eps):
+    y, _, _, _ = _fwd_call_i8(x2, w1, b1, w2, b2, ls, lb, seed, rate,
+                              eps)
+    return y
+
+
+_ffn_core_i8b.defvjp(_ffn_core_i8_fwd, _ffn_core_i8_bwd)
+
+
 def fused_ffn_block_int8_train(x: jnp.ndarray, w1, b1, w2, b2, ln_scale,
                                ln_bias, *, dropout_rate: float = 0.0,
-                               dropout_rng=None, eps: float = 1e-12
-                               ) -> jnp.ndarray:
-    """`fused_ffn_block` with int8 forward GEMMs / bf16 backward.
+                               dropout_rng=None, eps: float = 1e-12,
+                               int8_bwd: bool = False) -> jnp.ndarray:
+    """`fused_ffn_block` with int8 forward GEMMs / bf16 backward (or the
+    int8-dgrad backward when ``int8_bwd``, CLI ``--int8_train_bwd``).
 
     Requires dims where the bf16 kernels keep weights resident (no
     inter streaming): use with compute dtype bfloat16 at BERT-family
@@ -532,8 +672,9 @@ def fused_ffn_block_int8_train(x: jnp.ndarray, w1, b1, w2, b2, ln_scale,
     n_pad = n8 if n8 <= MASK_ROWS else _round_up(n, BLOCK_ROWS)
     if n_pad != n:
         x2 = jnp.pad(x2, ((0, n_pad - n), (0, 0)))
-    y = _ffn_core_i8(x2, w1, b1, w2, b2, ln_scale, ln_bias, seed, rate,
-                     float(eps))
+    core = _ffn_core_i8b if int8_bwd else _ffn_core_i8
+    y = core(x2, w1, b1, w2, b2, ln_scale, ln_bias, seed, rate,
+             float(eps))
     return y[:n].reshape(shape)
 
 

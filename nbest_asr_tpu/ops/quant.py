@@ -49,6 +49,33 @@ def quantize_weight(w: jnp.ndarray, axis_in: int = -2):
     return q, scale.astype(jnp.float32)
 
 
+def dgrad_int8(g: jnp.ndarray, wq: jnp.ndarray,
+               w_scale: jnp.ndarray) -> jnp.ndarray:
+    """dx = g @ dequant(wq)^T via an int8×int8→int32 MXU dot (the
+    input-gradient GEMM of the int8-training backward, and its XLA
+    oracle).
+
+    The contraction runs over the weight's OUTPUT axis, so the
+    per-output-channel scales cannot factor out of the int8 dot the way
+    they do in `dense_int8`; instead they fold EXACTLY into ``g``
+    before its per-token dynamic quantization:
+    ``sum_o q(g*ws)[o] * wq[i,o] * g_scale == sum_o g[o] * w[i,o]``
+    up to the activation-quant rounding of the scaled gradient.
+
+    g: (..., out) bf16/f32; wq: (in, out) int8; w_scale: (1, out) f32.
+    Returns f32 (..., in).
+    """
+    gf = g.astype(jnp.float32) * w_scale.reshape(
+        (1,) * (g.ndim - 1) + (-1,))
+    amax = jnp.max(jnp.abs(gf), axis=-1, keepdims=True)
+    g_scale = jnp.maximum(amax, 1e-12) / 127.0
+    gq = jnp.clip(jnp.round(gf / g_scale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        gq, wq, (((g.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * g_scale
+
+
 def dense_int8(x: jnp.ndarray, wq: jnp.ndarray, w_scale: jnp.ndarray,
                bias: jnp.ndarray) -> jnp.ndarray:
     """y = x @ dequant(wq) + bias via an int8×int8→int32 MXU dot.

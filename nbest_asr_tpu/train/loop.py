@@ -783,6 +783,7 @@ def build_model(opt: RunOptions, memory: Memory, tokenizer):
         use_fused_attn=resolve_flash(opt.use_fused_attn),
         use_int8_train=opt.int8_train,
         use_int8_train_attn=opt.int8_train_attn,
+        use_int8_train_bwd=opt.int8_train_bwd,
         flash_min_seq=opt.flash_min_seq,
         remat=opt.remat)
 

@@ -133,6 +133,127 @@ def test_int8_ffn_dropout_traces_and_masks_match_bf16():
 
 
 # --------------------------------------------------------------------- #
+# int8 BACKWARD variant (--int8_train_bwd)
+# --------------------------------------------------------------------- #
+
+
+def test_dgrad_int8_scale_folding_is_exact():
+    """The per-output weight scales fold exactly into the incoming
+    gradient: dgrad_int8 == g @ dequant(wq)^T up to only the per-token
+    rounding of the scaled gradient (verified by quantization-free
+    inputs where the rounding is exact)."""
+    from nbest_asr_tpu.ops.quant import dgrad_int8
+
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(64, 96), jnp.float32)
+    wq, ws = quantize_weight(w, axis_in=-2)
+    wdeq = wq.astype(jnp.float32) * ws
+    # g whose scaled rows quantize exactly: integer rows with abs-max
+    # exactly 127, pre-divided by ws so the fold lands back on them
+    # (then g_scale == 1 and every partial product is an exact int32)
+    gint = rng.randint(-126, 127, (8, 96)).astype(np.float32)
+    gint[:, 0] = 127.0
+    with jax.default_matmul_precision("highest"):
+        got = dgrad_int8(jnp.asarray(gint) / ws.reshape(1, -1), wq, ws)
+        want = (jnp.asarray(gint) / ws.reshape(1, -1)) @ wdeq.T
+    # f32 divide/multiply round-trip dust only (gq == gint exactly;
+    # g_scale == 1 ± ulp): orders of magnitude inside quantization error
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-5, atol=0)
+    # and on generic inputs it tracks the dequantized matmul closely
+    g = jnp.asarray(rng.randn(8, 96), jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        got = dgrad_int8(g, wq, ws)
+        want = g @ wdeq.T
+    err = np.abs(np.asarray(got) - np.asarray(want)).max()
+    ref = np.abs(np.asarray(want)).max()
+    assert err < 0.02 * ref, (err, ref)
+
+
+def test_int8_bwd_matches_quantized_gradient_oracle():
+    """--int8_train_bwd gradients == an XLA oracle implementing the same
+    quantized backward: int8 dgrads (scale-folded, per-token quantized)
+    through both weights, int8 forward recompute for gd/h, exact
+    LN/residual head, bf16-path wgrads from the int8 tiles."""
+    from nbest_asr_tpu.ops.quant import dgrad_int8
+
+    x, w1, b1, w2, b2, ls, lb = _inputs(n=32, seed=13)
+
+    def kernel_loss(*a):
+        return jnp.sum(fused_ffn_block_int8_train(
+            *a, eps=EPS, int8_bwd=True) ** 2)
+
+    def oracle_grads(x, w1, b1, w2, b2, ls, lb):
+        w1q, w1s = quantize_weight(w1, axis_in=-2)
+        w2q, w2s = quantize_weight(w2, axis_in=-2)
+        h = dense_int8(x, w1q, w1s, b1)
+        gd = gelu(h)
+        y2 = dense_int8(gd, w2q, w2s, b2)
+
+        # LN/residual head: exact gradients through the actual int8 y2
+        def head(x_, y2_, ls_, lb_):
+            return jnp.sum(layer_norm(x_ + y2_, ls_, lb_, EPS) ** 2)
+
+        dxh, dy2, dls, dlb = jax.grad(head, argnums=(0, 1, 2, 3))(
+            x, y2, ls, lb)
+        db2 = jnp.sum(dy2, axis=0)
+        dw2 = gd.T @ dy2
+        dgd = dgrad_int8(dy2, w2q, w2s)                  # int8 dgrad A
+
+        def gelu_path(h_):
+            return jnp.sum(gelu(h_) * jax.lax.stop_gradient(dgd))
+
+        dh = jax.grad(gelu_path)(h.astype(jnp.float32))
+        db1 = jnp.sum(dh, axis=0)
+        dw1 = x.T @ dh
+        dx = dxh + dgrad_int8(dh, w1q, w1s)              # int8 dgrad B
+        return dx, dw1, db1, dw2, db2, dls, dlb
+
+    with pltpu.force_tpu_interpret_mode(), \
+            jax.default_matmul_precision("highest"):
+        g_k = jax.grad(kernel_loss, argnums=tuple(range(7)))(
+            x, w1, b1, w2, b2, ls, lb)
+        g_o = oracle_grads(x, w1, b1, w2, b2, ls, lb)
+    names = ("x", "w1", "b1", "w2", "b2", "ls", "lb")
+    for name, a, b in zip(names, g_k, g_o):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-2,
+            err_msg=f"grad {name}")
+
+
+def test_int8_bwd_close_to_bf16_bwd_and_deterministic():
+    """The int8 backward's gradients stay quantization-close to the
+    bf16 backward's (same forward, same masks) — and with dropout the
+    whole thing still traces, is deterministic, and regenerates the
+    same masks (dx residual branch flows unquantized)."""
+    args = _inputs(n=128, seed=17)
+    key = jax.random.PRNGKey(3)
+    kw = dict(dropout_rate=0.3, dropout_rng=key, eps=EPS)
+
+    def loss(int8_bwd):
+        return lambda *a: jnp.sum(fused_ffn_block_int8_train(
+            *a, int8_bwd=int8_bwd, **kw) ** 2)
+
+    with pltpu.force_tpu_interpret_mode(), \
+            jax.default_matmul_precision("highest"):
+        g_i8 = jax.grad(loss(True), argnums=tuple(range(7)))(*args)
+        g_i8b = jax.grad(loss(True), argnums=tuple(range(7)))(*args)
+        g_bf = jax.grad(loss(False), argnums=tuple(range(7)))(*args)
+    for a, b in zip(g_i8, g_i8b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    names = ("x", "w1", "b1", "w2", "b2", "ls", "lb")
+    for name, a, b in zip(names, g_i8, g_bf):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        rel = np.abs(a - b).max() / max(np.abs(b).max(), 1e-9)
+        assert rel < 0.08, (name, rel)
+    # ls/lb grads depend only on dy and the saved forward: identical
+    for idx in (5, 6):
+        np.testing.assert_allclose(np.asarray(g_i8[idx]),
+                                   np.asarray(g_bf[idx]), rtol=1e-6,
+                                   atol=1e-6)
+
+
+# --------------------------------------------------------------------- #
 # attention megakernel int8-forward variant (--int8_train_attn)
 # --------------------------------------------------------------------- #
 

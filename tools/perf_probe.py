@@ -86,7 +86,12 @@ def main():
     ap.add_argument("--int8_train", action="store_true",
                     help="int8 forward GEMMs in the attention + FFN "
                     "megakernels (implies --fused_attn --fused_ffn)")
+    ap.add_argument("--int8_train_bwd", action="store_true",
+                    help="also the FFN backward's dgrad/recompute GEMMs "
+                    "(implies --int8_train)")
     args = ap.parse_args()
+    if args.int8_train_bwd:
+        args.int8_train = True
     if args.int8_train:
         args.fused_attn = args.fused_ffn = True
     what = set(args.what.split(","))
@@ -112,6 +117,7 @@ def main():
                         use_fused_attn=args.fused_attn,
                         use_int8_train=args.int8_train,
                         use_int8_train_attn=args.int8_train,
+                        use_int8_train_bwd=args.int8_train_bwd,
                         remat=args.remat)
     cfg = ModelConfig(encoder=enc, n_top=30, n_bottom=161)
     cpu = jax.devices("cpu")[0]

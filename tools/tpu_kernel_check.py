@@ -415,6 +415,56 @@ def main(record_path: "str | None" = None) -> int:
                  dropout_rng=jax.random.PRNGKey(3))
     check("int8_train dropout determinism", i1, i2, 0.0)
 
+    # ---- int8 BACKWARD variant (--int8_train_bwd) --------------------- #
+    # gradients == the XLA quantized-gradient oracle: int8 dgrads with
+    # scale folding (quant.dgrad_int8) through both weights, int8
+    # forward recompute for h/gd, exact LN/residual head.
+    from nbest_asr_tpu.ops.quant import dgrad_int8
+
+    def i8b_oracle_grads(x_, w1_, w2_):
+        f32 = jnp.float32
+        w1q, w1s = quantize_weight(w1_.astype(f32), axis_in=-2)
+        w2q, w2s = quantize_weight(w2_.astype(f32), axis_in=-2)
+        h_ = dense_int8(x_, w1q, w1s, fb1)
+        gd_ = gelu(h_)
+        y2_ = dense_int8(gd_, w2q, w2s, fb2)
+
+        def head(x2_, y22_):
+            return jnp.sum(layer_norm(
+                x2_.astype(f32) + y22_.astype(f32), fls, flb,
+                1e-12) ** 2)
+
+        dxh, dy2 = jax.grad(head, argnums=(0, 1))(x_, y2_)
+        dgd = dgrad_int8(dy2, w2q, w2s)
+        dw2_ = jnp.einsum("bsm,bsk->mk", gd_.astype(f32),
+                          dy2.astype(f32))
+
+        def gelu_path(h2_):
+            return jnp.sum(gelu(h2_) * jax.lax.stop_gradient(dgd))
+
+        dh = jax.grad(gelu_path)(h_.astype(f32))
+        dw1_ = jnp.einsum("bsk,bsm->km", x_.astype(f32), dh)
+        dx_ = dxh.astype(f32) + dgrad_int8(dh, w1q, w1s)
+        return dx_, dw1_, dw2_
+
+    g_i8b = jax.jit(jax.grad(floss(
+        lambda x_, a_, c_: fused_ffn_block_int8_train(
+            x_, a_, fb1, c_, fb2, fls, flb, int8_bwd=True)),
+        argnums=(0, 1, 2)))(xb, w1b, w2b)
+    with jax.default_matmul_precision("highest"):
+        g_i8bo = jax.jit(i8b_oracle_grads)(xb, w1b, w2b)
+    for a, b_, nm in zip(g_i8b, g_i8bo, ("dx", "dw1", "dw2")):
+        check_rel(f"int8_train_bwd {nm} vs quantized-gradient oracle",
+                  a, b_, 0.05)
+
+    i8b_drop = jax.jit(lambda k_: jax.grad(floss(
+        lambda x_, a_, c_: fused_ffn_block_int8_train(
+            x_, a_, fb1, c_, fb2, fls, flb, dropout_rate=0.3,
+            dropout_rng=k_, int8_bwd=True)))(xb, w1b, w2b))
+    ib1 = i8b_drop(jax.random.PRNGKey(5))
+    ib2 = i8b_drop(jax.random.PRNGKey(5))
+    check("int8_train_bwd dropout-grad determinism", ib1, ib2, 0.0)
+
     # ---- fused attention-block megakernel ------------------------------ #
     # Part 1: no-dropout numerics at the asymmetric-padding shape
     # (s=96 -> q rows 96, kv lanes 128) vs the XLA oracle.
