@@ -100,9 +100,10 @@ class RunOptions:
     int8_train_attn: bool = False         # extend --int8_train to the
     # attention megakernel's QKV + out-proj GEMMs
     # (ops/fused_attention.fused_attention_block_int8_train)
-    int8_train_bwd: bool = False          # extend --int8_train to the
-    # FFN backward's dgrad + recompute GEMMs (quantized-gradient
-    # rounding enters dgrads; measure with a quality arm)
+    int8_train_bwd: bool = False          # extend --int8_train /
+    # --int8_train_attn to the backwards' dgrad + recompute GEMMs
+    # (quantized-gradient rounding enters dgrads; measured with its
+    # own quality arm)
     flash_min_seq: int = 160              # flash-attention routing
     # threshold (bucketed seq >= this trains on the Pallas kernel);
     # serialized into the exp dir when non-default, dumped with the rest
@@ -275,8 +276,9 @@ def parse_arguments(argv=None) -> RunOptions:
                    "out-proj forward GEMMs int8 (requires "
                    "--fused_attn; independent of --int8_train)")
     p.add_argument("--int8_train_bwd", action="store_true",
-                   help="also run the FFN backward's dgrad + recompute "
-                   "GEMMs int8 (requires --int8_train)")
+                   help="also run the FFN/attention backwards' dgrad + "
+                   "recompute GEMMs int8 (with --int8_train / "
+                   "--int8_train_attn)")
     p.add_argument("--flash_min_seq", type=int, default=d.flash_min_seq,
                    help="flash-attention routing threshold (bucketed "
                    "seq >= this trains on the Pallas kernel)")

@@ -75,9 +75,11 @@ class EncoderConfig:
     # activation quant, f32 accumulation) with the unchanged bf16
     # backward — the VERDICT-r3 int8-training probe
     # (ops/fused_ffn.fused_ffn_block_int8_train); CLI --int8_train
-    use_int8_train_bwd: bool = False   # ALSO run the FFN backward's
-    # dgrad + recompute GEMMs int8 (ops/fused_ffn._bwd_kernel_i8);
-    # requires use_int8_train; CLI --int8_train_bwd
+    use_int8_train_bwd: bool = False   # ALSO run the megakernel
+    # backwards' dgrad + recompute GEMMs int8
+    # (ops/fused_ffn._bwd_kernel_i8 with use_int8_train;
+    # ops/fused_attention._fab_bwd_kernel_i8 with use_int8_train_attn);
+    # CLI --int8_train_bwd
     use_int8_train_attn: bool = False  # same recipe for the attention
     # megakernel's QKV + out-proj forward GEMMs
     # (ops/fused_attention.fused_attention_block_int8_train);
@@ -345,7 +347,8 @@ def encoder_forward(params: dict, input_ids: jnp.ndarray,
                 attn_dropout=cfg.attn_dropout,
                 hidden_dropout=cfg.hidden_dropout,
                 dropout_rng=jax.random.fold_in(lrng, 1),
-                eps=cfg.layer_norm_eps)
+                eps=cfg.layer_norm_eps,
+                int8_bwd=cfg.use_int8_train_bwd)
         elif attn_kernel_ok:
             from ..ops.fused_attention import fused_attention_block
 

@@ -510,15 +510,175 @@ def _fab_core_i8_fwd(x2, wqkv, bqkv, wo, bo, ls, lb, mask2, seed,
 _fab_core_i8.defvjp(_fab_core_i8_fwd, _fab_core_bwd)
 
 
+# --------------------------------------------------------------------- #
+# int8 BACKWARD variant (``--int8_train_bwd``): the backward sweep's
+# three large GEMMs also run int8 — the QKV recompute reuses the int8
+# forward recipe (regenerated qkv == the int8 forward's bit-for-bit),
+# and the two dgrads (dctx = dout@Wo^T, dx += dqkv@Wqkv^T) contract
+# over the weights' OUTPUT axes, so their per-output-channel scales
+# fold exactly into the incoming gradients before per-token quant
+# (`quant.dgrad_int8` math — same recipe as `fused_ffn._bwd_kernel_i8`).
+# The per-head attention dots (s_p × d tiles) stay bf16: they are too
+# small for int8 to pay and their numerics drive the softmax backward.
+# --------------------------------------------------------------------- #
+
+def _fab_bwd_kernel_i8(x_ref, wqkvq_ref, wqkvs_ref, bqkv_ref, woq_ref,
+                       wos_ref, ls_ref, mask_ref, seed_ref, mean_ref,
+                       rstd_ref, od_ref, dy_ref,
+                       dx_ref, dqkv_ref, ctx_ref, dout_ref, xhat_ref,
+                       *, n_heads: int, sm_scale: float,
+                       attn_rate: float, hid_rate: float, block_b: int,
+                       s_p: int, s_kv: int):
+    from .fused_ffn import _dgrad_rows_i8
+
+    cdt = x_ref.dtype
+    f32 = jnp.float32
+    h = x_ref.shape[1]
+    d = h // n_heads
+    inv_a = 1.0 / (1.0 - attn_rate) if attn_rate > 0.0 else 1.0
+    inv_h = 1.0 / (1.0 - hid_rate) if hid_rate > 0.0 else 1.0
+
+    x2 = x_ref[...]
+    x32 = x2.astype(f32)
+    s_res = od_ref[...].astype(f32) + x32
+    mean = mean_ref[...][:, :1]
+    rstd = rstd_ref[...][:, :1]
+    xhat = (s_res - mean) * rstd
+    dy = dy_ref[...].astype(f32)
+    gl = dy * ls_ref[...].astype(f32)
+    m1 = jnp.mean(gl, axis=1, keepdims=True)
+    m2 = jnp.mean(gl * xhat, axis=1, keepdims=True)
+    ds = (gl - m1 - xhat * m2) * rstd
+    dout = ds
+    if hid_rate > 0.0:
+        dout = _hidden_drop(dout, seed_ref, hid_rate, inv_h, block_b,
+                            s_p, n_heads)
+    dout_c = dout.astype(cdt)
+    dctx = _dgrad_rows_i8(dout, woq_ref, wos_ref)         # (R, h) f32
+
+    qkv = _dense_rows_i8(x32, wqkvq_ref, wqkvs_ref,
+                         bqkv_ref).astype(cdt)
+    for e in range(block_b):
+        elem = pl.program_id(0) * block_b + e
+        r0 = e * s_p
+        m = mask_ref[e, 0]
+        for i in range(n_heads):
+            p, q, k, v = _head_probs(qkv, r0, s_p, s_kv, h, d, i, m,
+                                     sm_scale)
+            do_i = dctx[r0:r0 + s_p, i * d:(i + 1) * d].astype(cdt)
+            dp = _dot(do_i, v, ((1,), (1,)))
+            if attn_rate > 0.0:
+                keep = _keep_mask(seed_ref, attn_rate,
+                                  elem * n_heads + i, p.shape)
+                p_v = jnp.where(keep, p * inv_a, 0.0)
+                dp = jnp.where(keep, dp * inv_a, 0.0)
+            else:
+                p_v = p
+            p_vc = p_v.astype(cdt)
+            dv_i = _dot(p_vc, do_i, ((0,), (0,)))
+            ctx_i = _dot(p_vc, v, ((1,), (0,)))
+            di = jnp.sum(dp * p, axis=1, keepdims=True)
+            ds_a = (p * (dp - di) * sm_scale).astype(cdt)
+            dq_i = _dot(ds_a, k, ((1,), (0,)))
+            dk_i = _dot(ds_a, q, ((0,), (0,)))
+            rows = slice(r0, r0 + s_p)
+            dqkv_ref[rows, i * d:(i + 1) * d] = dq_i.astype(cdt)
+            dqkv_ref[rows, h + i * d:h + (i + 1) * d] = \
+                dk_i[:s_p].astype(cdt)
+            dqkv_ref[rows, 2 * h + i * d:2 * h + (i + 1) * d] = \
+                dv_i[:s_p].astype(cdt)
+            ctx_ref[rows, i * d:(i + 1) * d] = ctx_i.astype(cdt)
+
+    dx = ds + _dgrad_rows_i8(dqkv_ref[...].astype(f32), wqkvq_ref,
+                             wqkvs_ref)
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+    dout_ref[...] = dout_c
+    xhat_ref[...] = xhat.astype(xhat_ref.dtype)
+
+
+def _fab_bwd_call_i8(x2, wqkv, bqkv, wo, ls, mask2, seed, mean, rstd,
+                     od, dy, n_heads, attn_rate, hid_rate, block_b,
+                     s_p):
+    from .quant import quantize_weight
+
+    n, h = x2.shape
+    R = block_b * s_p
+    s_kv = s_p
+    # the same per-step quantization the int8 forward computed
+    wqkvq, wqkvs = quantize_weight(wqkv.astype(jnp.float32), axis_in=-2)
+    woq, wos = quantize_weight(wo.astype(jnp.float32), axis_in=-2)
+    row_h, row_3h, wqkv_s, wo_s, vec_3h, vec_h, mask_s, stat, seed_s = \
+        _fab_specs(R, h, block_b, s_kv)
+    grid = (n // R,)
+    return pl.pallas_call(
+        functools.partial(
+            _fab_bwd_kernel_i8, n_heads=n_heads,
+            sm_scale=1.0 / float(h // n_heads) ** 0.5,
+            attn_rate=attn_rate, hid_rate=hid_rate,
+            block_b=block_b, s_p=s_p, s_kv=s_kv),
+        grid=grid,
+        in_specs=[row_h, wqkv_s, vec_3h, vec_3h, wo_s, vec_h, vec_h,
+                  mask_s, seed_s, stat, stat, row_h, row_h],
+        out_specs=(row_h, row_3h, row_h, row_h, row_h),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, h), x2.dtype),
+            jax.ShapeDtypeStruct((n, 3 * h), x2.dtype),
+            jax.ShapeDtypeStruct((n, h), x2.dtype),
+            jax.ShapeDtypeStruct((n, h), x2.dtype),
+            jax.ShapeDtypeStruct((n, h), x2.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+    )(x2, wqkvq, wqkvs.reshape(1, 3 * h), bqkv.reshape(1, 3 * h), woq,
+      wos.reshape(1, h), ls.reshape(1, h), mask2, seed, mean, rstd,
+      od, dy)
+
+
+def _fab_core_i8_bwd(n_heads, attn_rate, hid_rate, eps, block_b, s_p,
+                     res, dy):
+    x2, wqkv, bqkv, wo, bo, ls, lb, mask2, seed, od, mean, rstd = res
+    dx, dqkv, ctx, dout, xhat = _fab_bwd_call_i8(
+        x2, wqkv, bqkv, wo, ls, mask2, seed, mean, rstd, od, dy,
+        n_heads, attn_rate, hid_rate, block_b, s_p)
+    f32 = jnp.float32
+    dwqkv = jnp.einsum("nk,nm->km", x2, dqkv,
+                       preferred_element_type=f32).astype(wqkv.dtype)
+    dbqkv = jnp.sum(dqkv.astype(f32), axis=0).astype(bqkv.dtype)
+    dwo = jnp.einsum("nm,nk->mk", ctx, dout,
+                     preferred_element_type=f32).astype(wo.dtype)
+    dbo = jnp.sum(dout.astype(f32), axis=0).astype(bo.dtype)
+    dy32 = dy.astype(f32)
+    dls = jnp.sum(dy32 * xhat.astype(f32), axis=0).astype(ls.dtype)
+    dlb = jnp.sum(dy32, axis=0).astype(lb.dtype)
+    return (dx, dwqkv, dbqkv, dwo, dbo, dls, dlb, None, None)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13,
+                                                    14))
+def _fab_core_i8b(x2, wqkv, bqkv, wo, bo, ls, lb, mask2, seed,
+                  n_heads, attn_rate, hid_rate, eps, block_b, s_p):
+    y, _, _, _ = _fab_fwd_call_i8(x2, wqkv, bqkv, wo, bo, ls, lb, mask2,
+                                  seed, n_heads, attn_rate, hid_rate,
+                                  eps, block_b, s_p)
+    return y
+
+
+_fab_core_i8b.defvjp(_fab_core_i8_fwd, _fab_core_i8_bwd)
+
+
 def fused_attention_block_int8_train(x: jnp.ndarray, wqkv, bqkv, wo, bo,
                                      ln_scale, ln_bias, attn_mask, *,
                                      n_heads: int,
                                      attn_dropout: float = 0.0,
                                      hidden_dropout: float = 0.0,
                                      dropout_rng=None,
-                                     eps: float = 1e-12) -> jnp.ndarray:
+                                     eps: float = 1e-12,
+                                     int8_bwd: bool = False
+                                     ) -> jnp.ndarray:
     """`fused_attention_block` with int8 forward GEMMs / bf16 backward
-    (CLI ``--int8_train_attn``).  Same shape/lane requirements."""
+    (CLI ``--int8_train_attn``; ``int8_bwd`` additionally runs the
+    backward's QKV-recompute and both dgrads int8 — CLI
+    ``--int8_train_bwd``).  Same shape/lane requirements."""
     b, s, h = x.shape
     s_p = _round_up(s, 16)
     block_b = max(1, 128 // s_p)
@@ -542,9 +702,10 @@ def fused_attention_block_int8_train(x: jnp.ndarray, wqkv, bqkv, wo, bo,
     mask2 = jnp.pad(attn_mask.astype(jnp.float32),
                     ((0, b_pad - b), (0, s_kv - s)))[:, None, :]
     x2 = xp.reshape(b_pad * s_p, h)
-    y = _fab_core_i8(x2, wqkv, bqkv, wo, bo, ln_scale, ln_bias, mask2,
-                     seed, int(n_heads), a_rate, h_rate, float(eps),
-                     block_b, s_p)
+    core = _fab_core_i8b if int8_bwd else _fab_core_i8
+    y = core(x2, wqkv, bqkv, wo, bo, ln_scale, ln_bias, mask2,
+             seed, int(n_heads), a_rate, h_rate, float(eps),
+             block_b, s_p)
     return y.reshape(b_pad, s_p, h)[:b, :s]
 
 

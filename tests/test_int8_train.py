@@ -269,9 +269,10 @@ def _attn_inputs(b=2, s=48, seed=7):
     bo = jnp.asarray(rng.randn(AH) * 0.02, jnp.float32)
     ls = jnp.asarray(1.0 + 0.1 * rng.randn(AH), jnp.float32)
     lb = jnp.asarray(0.1 * rng.randn(AH), jnp.float32)
+    lens = np.full((b,), s)
+    lens[1::2] = s - 9  # alternate full/short rows
     mask = jnp.asarray(
-        (np.arange(s)[None, :] < np.array([s, s - 9])[:, None]),
-        jnp.float32)
+        (np.arange(s)[None, :] < lens[:, None]), jnp.float32)
     return x, wqkv, bqkv, wo, bo, ls, lb, mask
 
 
@@ -360,6 +361,98 @@ def test_int8_attn_backward_is_straight_through():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-3,
             err_msg=f"grad {name}")
+
+
+def test_int8_attn_bwd_matches_quantized_gradient_oracle():
+    """--int8_train_bwd on the attention megakernel: gradients == an
+    XLA oracle with int8 dgrads (scale-folded) through Wo and Wqkv, the
+    int8 QKV recompute, autodiff f32 attention-middle backward, and the
+    exact LN/residual head."""
+    from nbest_asr_tpu.ops.quant import dgrad_int8
+
+    x, wqkv, bqkv, wo, bo, ls, lb, mask = _attn_inputs(b=2, s=32,
+                                                       seed=21)
+    d = AH // AHEADS
+
+    def attn_mid(qkv):
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        outs = []
+        for i in range(AHEADS):
+            qi = q[..., i * d:(i + 1) * d]
+            ki = k[..., i * d:(i + 1) * d]
+            vi = v[..., i * d:(i + 1) * d]
+            s_ = jnp.einsum("bqd,bkd->bqk", qi, ki) / float(d) ** 0.5
+            s_ = jnp.where(mask[:, None, :] > 0, s_, -0.7 * float(
+                np.finfo(np.float32).max))
+            mx = jnp.max(s_, axis=-1, keepdims=True)
+            p = jnp.exp(s_ - mx)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            outs.append(jnp.einsum("bqk,bkd->bqd", p, vi))
+        return jnp.concatenate(outs, axis=-1)
+
+    def oracle_grads(x, wqkv, bqkv, wo, bo, ls, lb):
+        wq, ws = quantize_weight(wqkv, axis_in=-2)
+        woq, wos = quantize_weight(wo, axis_in=-2)
+        qkv = dense_int8(x, wq, ws, bqkv)
+        ctx, attn_vjp = jax.vjp(attn_mid, qkv)
+        out = dense_int8(ctx, woq, wos, bo)
+
+        def head(x_, out_, ls_, lb_):
+            return jnp.sum(layer_norm(x_ + out_, ls_, lb_, EPS) ** 2)
+
+        dxh, dout, dls, dlb = jax.grad(head, argnums=(0, 1, 2, 3))(
+            x, out, ls, lb)
+        dbo = jnp.sum(dout, axis=(0, 1))
+        dwo = jnp.einsum("bsm,bsk->mk", ctx, dout)
+        dctx = dgrad_int8(dout, woq, wos)
+        (dqkv,) = attn_vjp(dctx)
+        dbqkv = jnp.sum(dqkv, axis=(0, 1))
+        dwqkv = jnp.einsum("bsk,bsm->km", x, dqkv)
+        dx = dxh + dgrad_int8(dqkv, wq, ws)
+        return dx, dwqkv, dbqkv, dwo, dbo, dls, dlb
+
+    def kernel_loss(*a):
+        return jnp.sum(fused_attention_block_int8_train(
+            *a, mask, n_heads=AHEADS, eps=EPS, int8_bwd=True) ** 2)
+
+    with pltpu.force_tpu_interpret_mode(), \
+            jax.default_matmul_precision("highest"):
+        g_k = jax.grad(kernel_loss, argnums=tuple(range(7)))(
+            x, wqkv, bqkv, wo, bo, ls, lb)
+        g_o = oracle_grads(x, wqkv, bqkv, wo, bo, ls, lb)
+    names = ("x", "wqkv", "bqkv", "wo", "bo", "ls", "lb")
+    for name, a, b in zip(names, g_k, g_o):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-3, rtol=1e-2,
+            err_msg=f"grad {name}")
+
+
+def test_int8_attn_bwd_dropout_deterministic_and_close_to_bf16():
+    x, wqkv, bqkv, wo, bo, ls, lb, mask = _attn_inputs(b=4, s=48,
+                                                       seed=23)
+    key = jax.random.PRNGKey(11)
+    kw = dict(n_heads=AHEADS, attn_dropout=0.2, hidden_dropout=0.2,
+              dropout_rng=key, eps=EPS)
+
+    def loss(int8_bwd):
+        return lambda *a: jnp.sum(fused_attention_block_int8_train(
+            *a, mask, int8_bwd=int8_bwd, **kw) ** 2)
+
+    with pltpu.force_tpu_interpret_mode(), \
+            jax.default_matmul_precision("highest"):
+        g1 = jax.grad(loss(True), argnums=tuple(range(7)))(
+            x, wqkv, bqkv, wo, bo, ls, lb)
+        g2 = jax.grad(loss(True), argnums=tuple(range(7)))(
+            x, wqkv, bqkv, wo, bo, ls, lb)
+        g_bf = jax.grad(loss(False), argnums=tuple(range(7)))(
+            x, wqkv, bqkv, wo, bo, ls, lb)
+    for a, b in zip(g1, g2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    names = ("x", "wqkv", "bqkv", "wo", "bo", "ls", "lb")
+    for name, a, b in zip(names, g1, g_bf):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        rel = np.abs(a - b).max() / max(np.abs(b).max(), 1e-9)
+        assert rel < 0.08, (name, rel)
 
 
 def test_encoder_routes_int8_train_attn():

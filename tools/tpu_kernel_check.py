@@ -743,6 +743,50 @@ def main(record_path: "str | None" = None) -> int:
     ia2 = i8a_drop(key_a)
     check("int8_train_attn dropout determinism", ia1, ia2, 0.0)
 
+    # ---- int8 BACKWARD on the attention megakernel (--int8_train_bwd) - #
+    # gradients == the XLA quantized-gradient oracle: int8 dgrads with
+    # scale folding through Wo/Wqkv, int8 QKV recompute, autodiff f32
+    # attention middle, exact LN/residual head.
+    def fab_i8b_oracle_grads(x_, wq_, wo_):
+        f32 = jnp.float32
+        wqq_, wqs_ = _qw(wq_.astype(f32), axis_in=-2)
+        woq_, wos_ = _qw(wo_.astype(f32), axis_in=-2)
+        qkv_ = _di8(x_, wqq_, wqs_, bqkv)
+
+        def attn_mid(qkv3):
+            q_, k_, v_ = jnp.split(qkv3, 3, axis=-1)
+            return multi_head_attention(
+                q_.reshape(ba, sa, nha, da), k_.reshape(ba, sa, nha, da),
+                v_.reshape(ba, sa, nha, da), mk_a,
+                deterministic=True).reshape(ba, sa, ha)
+
+        ctx_, attn_vjp = jax.vjp(attn_mid, qkv_.astype(f32))
+        out_ = _di8(ctx_, woq_, wos_, bo_a)
+
+        def head(x2_, o_):
+            return jnp.sum(layer_norm(
+                x2_.astype(f32) + o_.astype(f32), ls_a, lb_a,
+                1e-12) ** 2)
+
+        dxh, dout = jax.grad(head, argnums=(0, 1))(x_, out_)
+        dwo_ = jnp.einsum("bsm,bsk->mk", ctx_.astype(f32),
+                          dout.astype(f32))
+        dctx = dgrad_int8(dout, woq_, wos_)
+        (dqkv,) = attn_vjp(dctx)
+        dwq_ = jnp.einsum("bsk,bsm->km", x_.astype(f32), dqkv)
+        dx_ = dxh.astype(f32) + dgrad_int8(dqkv, wqq_, wqs_)
+        return dx_, dwq_, dwo_
+
+    g_aib = jax.jit(jax.grad(floss(
+        lambda x_, a_, c_: fused_attention_block_int8_train(
+            x_, a_, bqkv, c_, bo_a, ls_a, lb_a, mk_a, n_heads=nha,
+            int8_bwd=True)), argnums=(0, 1, 2)))(xab, wqb, wob)
+    with jax.default_matmul_precision("highest"):
+        g_aibo = jax.jit(fab_i8b_oracle_grads)(xab, wqb, wob)
+    for a, b_, nm in zip(g_aib, g_aibo, ("dx", "dwqkv", "dwo")):
+        check_rel(f"int8_train_bwd attn {nm} vs quantized-grad oracle",
+                  a, b_, 0.05)
+
     # ---- int8 serving megakernels (vs the XLA dense_int8 oracle) ----- #
     from nbest_asr_tpu.ops.int8_serving import (int8_attention_block,
                                                 int8_ffn_block)
