@@ -104,8 +104,14 @@ def main() -> int:
 
     global ARMS
     if args.pretrained:
-        ARMS = {"pretrained": ("--tod_pre_trained_model %s "
-                               "--require_pretrained" % args.pretrained)}
+        init = ("--tod_pre_trained_model %s "
+                "--require_pretrained" % args.pretrained)
+        # --arm_extra composes: one arm fine-tuning FROM the pretrained
+        # init WITH the extra flags (e.g. the int8-train interaction arm)
+        if args.arm_extra is not None:
+            ARMS = {"pretrained+custom": init + " " + args.arm_extra}
+        else:
+            ARMS = {"pretrained": init}
     elif args.arm_extra is not None:
         ARMS = {"custom": args.arm_extra}
 
@@ -133,7 +139,7 @@ def main() -> int:
         # under --pretrained the coverage runs fine-tune FROM the
         # pretrained init too (the de-lotteried sample-complexity
         # protocol); from-scratch otherwise
-        cov_extra = ARMS["pretrained"] if args.pretrained else ""
+        cov_extra = next(iter(ARMS.values())) if args.pretrained else ""
         for cov in (0.05, 0.10, 0.20, 0.50):
             for seed in parse_range(args.cov_seeds):
                 work.append((seed, cov_extra, cov))
