@@ -74,8 +74,19 @@ def hierarchical_head(params: dict, features: jnp.ndarray,
     ``bottom_scores_dict`` (within-group softmax for every bottom label);
     the CE loss and decode consume it through the same membership arrays.
     ``dropout_rate`` mirrors the reference's head dropout on the CLS
-    features (`hierarchical_classifier.py:41, 46` — the same dropout layer
-    is applied before the top and bottom projections).
+    features (`hierarchical_classifier.py:41, 44-48`): the reference calls
+    ``self.dropout(x)`` FRESH for the top head and again inside the
+    per-group loop, i.e. every group head sees an independent dropout
+    sample of the features.  The vectorized equivalent here draws one
+    independent (b, h) mask per top group and runs the bottom projection
+    as a (n_top)-way batched GEMM, then gathers each bottom column's row
+    from its own group's logits.  The extra compute is ~n_top x a
+    (b,h)@(h,n_bottom) GEMM — sub-1% of an encoder step — and only exists
+    when head dropout is active (training with --dropout > 0).  Masks for
+    singleton-top groups are drawn too (superset of the reference's
+    multi-group-only loop) but cannot affect any output: singleton
+    final_scores use the top score alone and the group CE covers multi
+    groups only.
     """
     from ..ops.layers import acc_dtype
     from ..ops.layers import dropout as _dropout
@@ -84,14 +95,26 @@ def hierarchical_head(params: dict, features: jnp.ndarray,
     if not deterministic and dropout_rate > 0.0:
         r1, r2 = jax.random.split(rng)
         f_top = _dropout(f32, dropout_rate, r1, deterministic)
-        f_bot = _dropout(f32, dropout_rate, r2, deterministic)
+        n_top = params["top_kernel"].shape[1]
+        n_bottom = params["bottom_kernel"].shape[1]
+        keep = 1.0 - dropout_rate
+        masks = jax.random.bernoulli(r2, p=keep,
+                                     shape=(n_top,) + f32.shape)
+        dropped = jnp.where(masks, f32[None] / keep, 0.0)  # (g, b, h)
+        logits_all = (jnp.einsum("gbh,hn->gbn", dropped,
+                                 params["bottom_kernel"])
+                      + params["bottom_bias"])             # (g, b, n_bot)
+        bottom_logits = logits_all[
+            hier["bottom2top"], :, jnp.arange(n_bottom)].T  # (b, n_bot)
     else:
-        f_top = f_bot = f32
+        f_top = f32
+        bottom_logits = None
 
     top_logits = f_top @ params["top_kernel"] + params["top_bias"]
     top_scores = jax.nn.sigmoid(top_logits)
 
-    bottom_logits = f_bot @ params["bottom_kernel"] + params["bottom_bias"]
+    if bottom_logits is None:
+        bottom_logits = f32 @ params["bottom_kernel"] + params["bottom_bias"]
     bottom_probs = group_softmax(bottom_logits, hier["membership"],
                                  hier["bottom2top"])
 

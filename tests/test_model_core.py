@@ -86,6 +86,49 @@ def test_head_shapes(tiny_memory):
     assert bool((np.asarray(top) > 0).all() and (np.asarray(top) < 1).all())
 
 
+def test_head_dropout_is_per_group(tiny_memory):
+    """The reference draws a FRESH dropout sample of the CLS features for
+    every group head (hierarchical_classifier.py:41, 44-48 — dropout(x)
+    inside the per-group loop).  Probe: route member j of each multi
+    group to feature j via a one-hot bottom kernel, feed all-ones
+    features; each group's softmax then reveals that group's mask bits
+    on features 0..k-1.  A shared bottom mask (the pre-r5 behavior)
+    makes the two multi groups' softmax outputs identical on every row;
+    independent per-group masks make them differ somewhere w.h.p."""
+    mem = tiny_memory
+    arr = mem.arrays()
+    hier = hierarchy_device_arrays(arr)
+    h = 16
+    multi_groups = [sorted(m) for t, m in mem.top2bottom.items()
+                    if len(m) >= 2]
+    assert len(multi_groups) >= 2
+    W = np.zeros((h, mem.n_bottom), np.float32)
+    for members in multi_groups:
+        for j, col in enumerate(members):
+            W[j, col] = 1.0
+    params = init_head_params(jax.random.PRNGKey(0), h, mem.n_top,
+                              mem.n_bottom)
+    params = dict(params, bottom_kernel=jnp.asarray(W),
+                  bottom_bias=jnp.zeros((mem.n_bottom,), jnp.float32))
+    feats = jnp.ones((256, h), jnp.float32)
+    _, probs, _ = hierarchical_head(
+        params, feats, hier, dropout_rate=0.5,
+        rng=jax.random.PRNGKey(7), deterministic=False)
+    probs = np.asarray(probs)
+    g1, g2 = multi_groups[0], multi_groups[1]
+    k = min(len(g1), len(g2))
+    sig1, sig2 = probs[:, g1[:k]], probs[:, g2[:k]]
+    assert not np.allclose(sig1, sig2), \
+        "bottom dropout mask is shared across group heads"
+    # and the deterministic path is untouched by the rate
+    _, probs_det, _ = hierarchical_head(params, feats, hier,
+                                        dropout_rate=0.5,
+                                        deterministic=True)
+    _, probs_base, _ = hierarchical_head(params, feats, hier)
+    np.testing.assert_allclose(np.asarray(probs_det),
+                               np.asarray(probs_base))
+
+
 # --------------------------------------------------------------------- #
 # encoder
 # --------------------------------------------------------------------- #

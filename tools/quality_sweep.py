@@ -99,10 +99,19 @@ def main() -> int:
                     "fine-tuning wants a smaller one than from-scratch)")
     ap.add_argument("--arm_extra", default=None,
                     help="replace the arm table with one arm running "
-                    "these extra CLI flags (e.g. '--int8_train')")
+                    "these extra CLI flags (e.g. '--int8_train'); "
+                    "arm-only — coverage runs do NOT get these")
+    ap.add_argument("--base_extra", default=None,
+                    help="extra CLI flags appended to EVERY run, arms "
+                    "and coverage alike (e.g. '--n_layers 12' for the "
+                    "headline-geometry protocol)")
+    ap.add_argument("--arms", default=None,
+                    help="comma-separated subset of the arm table to "
+                    "run (default: all arms)")
     args = ap.parse_args()
 
     global ARMS
+    init = None
     if args.pretrained:
         init = ("--tod_pre_trained_model %s "
                 "--require_pretrained" % args.pretrained)
@@ -114,6 +123,18 @@ def main() -> int:
             ARMS = {"pretrained": init}
     elif args.arm_extra is not None:
         ARMS = {"custom": args.arm_extra}
+    if args.arms:
+        keep = set(args.arms.split(","))
+        unknown = keep - set(ARMS)
+        if unknown:
+            ap.error(f"--arms {sorted(unknown)} not in arm table "
+                     f"{sorted(ARMS)}")
+        ARMS = {k: v for k, v in ARMS.items() if k in keep}
+
+    def with_base(extra):
+        if not args.base_extra:
+            return extra
+        return (extra + " " + args.base_extra).strip()
 
     os.makedirs(os.path.dirname(args.log), exist_ok=True)
 
@@ -134,22 +155,28 @@ def main() -> int:
     if not args.skip_arms:
         for name, extra in ARMS.items():
             for seed in parse_range(args.seeds):
-                work.append((seed, extra, None))
+                work.append((seed, with_base(extra), None, name))
     if not args.skip_coverage:
         # under --pretrained the coverage runs fine-tune FROM the
         # pretrained init too (the de-lotteried sample-complexity
-        # protocol); from-scratch otherwise
-        cov_extra = next(iter(ARMS.values())) if args.pretrained else ""
+        # protocol); from-scratch otherwise.  Coverage stays PURE init
+        # (+ base_extra): --arm_extra flags are arm-only, so an
+        # interaction sweep doesn't silently change the coverage
+        # protocol (advisor r4 finding).
+        cov_extra = with_base(init if args.pretrained else "")
+        cov_name = "pretrained" if args.pretrained else "scratch"
         for cov in (0.05, 0.10, 0.20, 0.50):
             for seed in parse_range(args.cov_seeds):
-                work.append((seed, cov_extra, cov))
+                work.append((seed, cov_extra, cov, cov_name))
 
-    for i, (seed, extra, cov) in enumerate(work):
+    for i, (seed, extra, cov, name) in enumerate(work):
         if (seed, extra, cov) in done:
             print(f"[{i+1}/{len(work)}] skip (done)", flush=True)
             continue
-        tag = f"s{seed}_{'ship' if not extra else 'flash'}" + (
-            f"_c{cov}" if cov is not None else "")
+        # out_dir tag derives from the ARM NAME (advisor r4: inferring
+        # 'ship'/'flash' from extra truthiness made distinct arms share
+        # per-run dirs and overwrite artifacts)
+        tag = f"s{seed}_{name}" + (f"_c{cov}" if cov is not None else "")
         out_dir = os.path.join(os.path.dirname(args.log), tag)
         print(f"[{i+1}/{len(work)}] {tag}", flush=True)
         run_one(out_dir, seed, extra, cov, args.epochs, args.log,
