@@ -1,9 +1,14 @@
 # Convenience targets; everything also works without make.
 
-.PHONY: test native bench smoke tpu-check clean
+.PHONY: test test-fast native bench smoke tpu-check clean
 
 test:
 	python -m pytest tests/ -q
+
+# fast correctness tier (<3 min): excludes the CPU-training e2e,
+# multiprocess and interpret-kernel-heavy tests marked `slow`
+test-fast:
+	python -m pytest tests/ -q -m "not slow"
 
 native:
 	python -c "from nbest_asr_tpu.data.native_loader import build_library; \

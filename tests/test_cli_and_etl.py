@@ -8,6 +8,9 @@ import numpy as np
 import pytest
 
 
+pytestmark = pytest.mark.slow  # CPU-training / subprocess tier
+
+
 @pytest.fixture()
 def mini_dataroot(tmp_path, ref_valid_path, ref_memory):
     root = tmp_path / "dataroot"

@@ -30,6 +30,9 @@ from nbest_asr_tpu.train.loop import Trainer
 VOCAB = 64
 
 
+pytestmark = pytest.mark.slow  # CPU-training / subprocess tier
+
+
 def _synthetic_packed(n_rows: int, max_len: int, n_bottom: int,
                       seed: int = 0) -> PackedSplit:
     """Random fixed-shape split with a mix of real lengths so bucketing

@@ -18,6 +18,9 @@ from nbest_asr_tpu.train.losses import LossConfig
 from nbest_asr_tpu.train.optimizer import OptimizerConfig, make_optimizer
 
 
+pytestmark = pytest.mark.slow  # CPU-training / subprocess tier
+
+
 def _setup(tiny_memory):
     mem = tiny_memory
     hier = hierarchy_device_arrays(mem.arrays())

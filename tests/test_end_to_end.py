@@ -21,6 +21,9 @@ from nbest_asr_tpu.train.loop import Trainer
 from nbest_asr_tpu.parallel.mesh import make_mesh
 
 
+pytestmark = pytest.mark.slow  # CPU-training / subprocess tier
+
+
 @pytest.fixture(scope="module")
 def small_setup(tmp_path_factory):
     ref_valid = "/root/reference/dstc2_data/processed_data/raw/valid"

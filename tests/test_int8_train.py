@@ -28,6 +28,9 @@ H, INTER = 128, 256
 EPS = 1e-12
 
 
+pytestmark = pytest.mark.slow  # CPU-training / subprocess tier
+
+
 def _inputs(n=48, seed=0):
     rng = np.random.RandomState(seed)
     x = jnp.asarray(rng.randn(n, H) * 0.5, jnp.float32)

@@ -24,6 +24,9 @@ from nbest_asr_tpu.train.mlm import (MLM_IGNORE, apply_mlm_mask,
                                      init_mlm_head_params,
                                      make_mlm_train_step, mlm_loss)
 
+pytestmark = pytest.mark.slow  # CPU-training / subprocess tier
+
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 TINY = dict(vocab_size=64, hidden_size=32, num_layers=2, num_heads=2,

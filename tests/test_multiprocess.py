@@ -32,6 +32,9 @@ WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "distributed_worker.py")
 
 
+pytestmark = pytest.mark.slow  # CPU-training / subprocess tier
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -110,6 +113,68 @@ def test_two_process_direct_mode_matches_single_process(tmp_path):
         assert os.path.exists(os.path.join(exp2, fname)), fname
     with open(os.path.join(exp2, "best.json")) as fp:
         assert json.load(fp) == res2[0]["best"]
+
+
+TP_WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "distributed_tp_worker.py")
+
+
+def _run_tp_arm(nproc: int, n_model: int, tmp_path, tag: str):
+    res = str(tmp_path / f"tpres_{tag}")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    port = str(_free_port())
+    procs, logs = [], []
+    for i in range(nproc):
+        log = open(str(tmp_path / f"tplog_{tag}_p{i}"), "w")
+        logs.append(log)
+        procs.append(subprocess.Popen(
+            [sys.executable, TP_WORKER, str(i), str(nproc), str(n_model),
+             port, res], env=env, stdout=log, stderr=subprocess.STDOUT))
+    rcs = [p.wait(timeout=900) for p in procs]
+    for log in logs:
+        log.close()
+    for i, rc in enumerate(rcs):
+        if rc != 0:
+            with open(str(tmp_path / f"tplog_{tag}_p{i}")) as fp:
+                tail = fp.read()[-2000:]
+            raise AssertionError(f"tp worker {i}/{nproc} rc={rc}:\n{tail}")
+    results = []
+    for i in range(nproc):
+        with open(os.path.join(res, f"tp_result_p{i}.json")) as fp:
+            results.append(json.load(fp))
+    return results
+
+
+@pytest.mark.skipif(sys.platform != "linux",
+                    reason="gloo CPU collectives exercised on linux only")
+def test_cross_process_tensor_parallel_matches_in_process(tmp_path):
+    """VERDICT r4 #7: drive the MODEL axis across a real process
+    boundary.  Mesh (data=1, model=2) with one device per process puts
+    each TP pair on two processes, so the per-layer attention-out/FFN-out
+    all-reduces ride gloo.  Must agree with the in-process TP arm (one
+    process, two local devices, identical mesh shape): forward scalars
+    exactly, three-BertAdam-step parameter energies to reduction-order
+    noise."""
+    res2 = _run_tp_arm(2, 2, tmp_path, "x2")
+    res1 = _run_tp_arm(1, 2, tmp_path, "x1")
+
+    # both processes of the TP run observe the same replicated stats
+    assert res2[0]["first_loss"] == res2[1]["first_loss"]
+    assert res2[0]["param_sq"] == res2[1]["param_sq"]
+
+    # step-1 forward: same params + same batch -> same loss/counts up to
+    # collective reduction order (counts are integers: exact)
+    assert res2[0]["first_counts"] == res1[0]["first_counts"]
+    assert res2[0]["first_loss"] == pytest.approx(res1[0]["first_loss"],
+                                                  rel=1e-5)
+
+    # after 3 optimizer steps: per-leaf parameter energy within
+    # reduction-order noise of the in-process arm
+    sq2, sq1 = res2[0]["param_sq"], res1[0]["param_sq"]
+    assert sorted(sq2) == sorted(sq1)
+    for k in sq1:
+        assert sq2[k] == pytest.approx(sq1[k], rel=1e-4), k
 
 
 def test_non_coordinator_skips_artifact_writes(tmp_path, monkeypatch):

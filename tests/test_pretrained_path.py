@@ -22,6 +22,9 @@ VOCAB = (
 ).split()
 
 
+pytestmark = pytest.mark.slow  # CPU-training / subprocess tier
+
+
 @pytest.fixture(scope="module")
 def hf_checkpoint_dir(tmp_path_factory):
     """Tiny random-init BertModel + BertTokenizer saved to disk — the

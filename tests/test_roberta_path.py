@@ -26,6 +26,9 @@ CORPUS = [
 ] * 10
 
 
+pytestmark = pytest.mark.slow  # CPU-training / subprocess tier
+
+
 @pytest.fixture(scope="module")
 def roberta_checkpoint(tmp_path_factory):
     pytest.importorskip("torch")

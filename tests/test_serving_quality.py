@@ -29,6 +29,9 @@ from nbest_asr_tpu.train.loop import Trainer, init_model_params
 REF = "/root/reference/dstc2_data/processed_data/raw"
 
 
+pytestmark = pytest.mark.slow  # CPU-training / subprocess tier
+
+
 @pytest.fixture(scope="module")
 def trained(tmp_path_factory):
     if not os.path.exists(os.path.join(REF, "valid")):

@@ -34,6 +34,9 @@ MICRO_B = 4
 WARMUP = 0.3  # early enough that the run crosses the warmup peak
 
 
+pytestmark = pytest.mark.slow  # CPU-training / subprocess tier
+
+
 def _torch_reference_training(torch, bert, head_w, mem, batches, labels,
                               lr, bert_lr, dtype, n_steps=N_STEPS):
     """Run the reference training loop math in torch; returns (per-step

@@ -29,6 +29,9 @@ CORPUS = [
 ] * 10
 
 
+pytestmark = pytest.mark.slow  # CPU-training / subprocess tier
+
+
 @pytest.fixture(scope="module")
 def xlmr_checkpoint(tmp_path_factory):
     torch = pytest.importorskip("torch")
