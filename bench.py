@@ -99,6 +99,11 @@ def main() -> None:
         max_epoch=50, optim_choice="bertadam", lr=3e-5, bert_lr=3e-5,
         bert_dropout=0.1, compute_dtype="bfloat16",
         length_buckets="64,96,160,256",
+        # NBEST_BENCH_PACK=<capacity> probes example packing
+        # (--pack_examples): every train row holds several utterances
+        # behind a block-diagonal segment mask (data/packing.py)
+        pack_examples=bool(os.environ.get("NBEST_BENCH_PACK")),
+        pack_capacity=int(os.environ.get("NBEST_BENCH_PACK", "0") or 256),
         # per-bucket token-budget batching: quality-validated on the
         # smoke split (QUALITY.md — it *improves* F1 over fixed batch 32)
         token_budget=8192,

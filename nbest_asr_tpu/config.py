@@ -125,6 +125,16 @@ class RunOptions:
     # 8, never below the parity micro-batch).  NOT reference-parity: the
     # effective optimizer batch varies per bucket; validated for quality
     # on the smoke split (QUALITY.md) before use
+    pack_examples: bool = False           # TRAIN-split example packing
+    # (data/packing.py): several utterances share one pack_capacity-token
+    # row with block-diagonal segment-mask attention, per-segment
+    # positions and per-segment CLS gathers — per-utterance math
+    # unchanged (bit-equality pinned by tests/test_packing.py), epoch
+    # runs at the long-seq MFU with ~full token occupancy.  Eval splits
+    # stay unpacked
+    pack_capacity: int = 256              # packed row length (widened,
+    # never truncating, if an utterance is longer)
+    pack_max_segs: int = 8                # max utterances per packed row
     data_mode: str = "index"              # "index": whole split device-
     # resident, steps gather by row index (single-controller, <= 1 host).
     # "direct": each process owns a strided shard of the train split and
@@ -293,6 +303,15 @@ def parse_arguments(argv=None) -> RunOptions:
     p.add_argument("--eval_batch", type=int, default=None)
     p.add_argument("--steps_per_call", type=int, default=d.steps_per_call)
     p.add_argument("--token_budget", type=int, default=None)
+    p.add_argument("--pack_examples", action="store_true",
+                   help="pack several train utterances per fixed-shape "
+                   "row (block-diagonal segment attention, per-segment "
+                   "positions/CLS; per-utterance math unchanged)")
+    p.add_argument("--pack_capacity", type=int, default=d.pack_capacity,
+                   help="packed row length (widened if an utterance is "
+                   "longer; never truncates)")
+    p.add_argument("--pack_max_segs", type=int, default=d.pack_max_segs,
+                   help="max utterances per packed row")
     p.add_argument("--data_mode", default=d.data_mode,
                    choices=["index", "direct"],
                    help="direct = multi-host per-process data sharding "

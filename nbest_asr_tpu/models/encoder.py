@@ -165,10 +165,15 @@ def init_encoder_params(rng, cfg: EncoderConfig) -> dict:
 
 def _embed(params: dict, input_ids: jnp.ndarray,
            token_type_ids: Optional[jnp.ndarray], cfg: EncoderConfig,
-           rng, deterministic: bool) -> jnp.ndarray:
+           rng, deterministic: bool,
+           position_ids: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """``position_ids`` (b, s) overrides the default iota positions —
+    example packing (data/packing.py) restarts them at every packed
+    segment so each utterance sees exactly the positions it would see
+    unpacked."""
     emb = params["embeddings"]
     b, s = input_ids.shape
-    if cfg.use_fused_embedding:
+    if cfg.use_fused_embedding and position_ids is None:
         from ..ops.fused_embed import fused_embed_lookup
 
         tt = token_type_ids if (token_type_ids is not None
@@ -180,9 +185,13 @@ def _embed(params: dict, input_ids: jnp.ndarray,
                                emb["ln_scale"], emb["ln_bias"],
                                input_ids, tt, s, cfg.layer_norm_eps)
     else:
-        positions = jnp.arange(s, dtype=jnp.int32) + cfg.position_offset
         x = emb["word"][input_ids]
-        x = x + emb["position"][positions][None, :, :]
+        if position_ids is None:
+            positions = (jnp.arange(s, dtype=jnp.int32)
+                         + cfg.position_offset)
+            x = x + emb["position"][positions][None, :, :]
+        else:
+            x = x + emb["position"][position_ids + cfg.position_offset]
         if token_type_ids is not None and cfg.type_vocab_size > 0:
             x = x + emb["type"][token_type_ids]
         else:
@@ -259,15 +268,23 @@ def encoder_forward(params: dict, input_ids: jnp.ndarray,
                     attn_mask: jnp.ndarray,
                     token_type_ids: Optional[jnp.ndarray],
                     cfg: EncoderConfig, *, deterministic: bool = True,
-                    rng=None) -> jnp.ndarray:
+                    rng=None,
+                    position_ids: Optional[jnp.ndarray] = None
+                    ) -> jnp.ndarray:
     """Returns the final hidden states (b, s, h) in compute dtype.
 
     The per-layer body runs under `lax.scan` over the stacked layer params;
     `cfg.remat` wraps it in `jax.checkpoint` to trade recompute for HBM.
+
+    ``attn_mask`` uses SEGMENT semantics everywhere (0 = pad, k >= 1 =
+    packed-segment id; plain 1/0 masks keep their old meaning — see
+    ops/attention.py).  ``position_ids`` (b, s) optionally overrides the
+    iota positions (example packing restarts them per segment).
     """
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    x = _embed(params, input_ids, token_type_ids, cfg, rng, deterministic)
+    x = _embed(params, input_ids, token_type_ids, cfg, rng, deterministic,
+               position_ids=position_ids)
     b, s, h = x.shape
     nh, hd = cfg.num_heads, cfg.head_dim
     cdt = cfg.cdtype

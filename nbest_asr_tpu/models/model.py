@@ -60,6 +60,10 @@ def model_forward(
     classifier_input_type: str = "asr",
     deterministic: bool = True,
     rng=None,
+    position_ids: Optional[jnp.ndarray] = None,
+    trans_position_ids: Optional[jnp.ndarray] = None,
+    cls_positions: Optional[jnp.ndarray] = None,
+    trans_cls_positions: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray,
            Optional[jnp.ndarray]]:
     """Returns (top_scores, bottom_probs, final_scores, asr_cls, trans_cls).
@@ -67,6 +71,17 @@ def model_forward(
     ``trans_*`` arrays trigger the second (shared-weight) encoder pass the
     reference runs for the transcript stream (ref `models/model.py:50-58`);
     pass None to skip it (eval-time single-stream mode).
+
+    EXAMPLE PACKING (data/packing.py): when several utterances share one
+    row, ``cls_positions`` (b, n_seg) holds each packed segment's [CLS]
+    offset; the per-segment CLS vectors are gathered and flattened to
+    (b * n_seg, h), so every downstream output gets one row per
+    UTTERANCE (invalid segments point at offset 0 and are zeroed by the
+    caller's example mask).  ``position_ids`` restarts positions per
+    segment; ``attn_mask`` carries the packed segment ids (see
+    ops/attention.py).  With all four packing args None the behavior is
+    the original single-utterance-per-row forward (CLS at position 0,
+    ref :47).
     """
     if rng is None:
         if not deterministic:
@@ -79,18 +94,27 @@ def model_forward(
 
     from ..ops.layers import acc_dtype
 
+    def take_cls(seq, positions):
+        if positions is None:
+            return seq[:, 0, :].astype(acc_dtype(seq.dtype))
+        # (b, n_seg, h) per-segment CLS gather -> one row per utterance
+        g = jnp.take_along_axis(seq, positions[:, :, None], axis=1)
+        return g.reshape(-1, seq.shape[-1]).astype(acc_dtype(seq.dtype))
+
     seq_out = encoder_forward(
         params["encoder"], input_ids, attn_mask, token_type_ids,
-        cfg.encoder, deterministic=deterministic, rng=r_asr)
-    asr_cls = seq_out[:, 0, :].astype(acc_dtype(seq_out.dtype))
+        cfg.encoder, deterministic=deterministic, rng=r_asr,
+        position_ids=position_ids)
+    asr_cls = take_cls(seq_out, cls_positions)
 
     trans_cls = None
     if trans_input_ids is not None:
         trans_out = encoder_forward(
             params["encoder"], trans_input_ids, trans_attn_mask,
             trans_token_type_ids, cfg.encoder,
-            deterministic=deterministic, rng=r_trans)
-        trans_cls = trans_out[:, 0, :].astype(acc_dtype(trans_out.dtype))
+            deterministic=deterministic, rng=r_trans,
+            position_ids=trans_position_ids)
+        trans_cls = take_cls(trans_out, trans_cls_positions)
 
     feats = trans_cls if (classifier_input_type == "transcript"
                           and trans_cls is not None) else asr_cls

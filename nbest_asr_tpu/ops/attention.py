@@ -80,7 +80,23 @@ def multi_head_attention(
     q: jnp.ndarray,                # (b, s, n_heads, d_head)
     k: jnp.ndarray,
     v: jnp.ndarray,
-    attn_mask: jnp.ndarray,        # (b, s) 1.0 = attend, 0.0 = pad
+    attn_mask: jnp.ndarray,        # (b, s) SEGMENT mask: 0 = pad,
+    #                                k >= 1 = packed-segment id.  A
+    #                                position attends exactly the
+    #                                positions with ITS OWN mask value,
+    #                                so the plain 1/0 padding mask keeps
+    #                                its meaning (every valid position
+    #                                attends every valid position) and a
+    #                                multi-valued mask gives the
+    #                                block-diagonal attention of
+    #                                example packing (data/packing.py)
+    #                                with zero extra inputs.  Pad
+    #                                positions attend each other (their
+    #                                outputs are never consumed: the
+    #                                model reads CLS positions only and
+    #                                valid queries never mix pad values
+    #                                in, so no gradient flows through
+    #                                them either).
     *,
     dropout_rate: float = 0.0,
     dropout_rng=None,
@@ -139,8 +155,9 @@ def multi_head_attention(
     logits = jnp.einsum(
         "bqhd,bkhd->bhqk", q, k, preferred_element_type=acc
     ) * scale
-    bias = (1.0 - attn_mask[:, None, None, :].astype(acc)) * -1e9
-    logits = logits + bias
+    m = attn_mask.astype(acc)
+    same_seg = m[:, None, None, :] == m[:, None, :, None]   # (b,1,s,s)
+    logits = jnp.where(same_seg, logits, -1e9)
     probs = jax.nn.softmax(logits, axis=-1)
     if not deterministic and dropout_rate > 0.0:
         probs = dropout(probs, dropout_rate, dropout_rng, deterministic)

@@ -66,6 +66,16 @@ def _keep_mask(seed_ref, rate: float, tile_id, shape):
     return bits >= thresh
 
 
+def _seg_col(vec, n_rows):
+    """(n_rows, 1) column of the first n_rows values of the lane vector
+    ``vec`` — a diagonal gather via two broadcasted iotas (pure VPU; no
+    sublane-shaped input needed).  Requires n_rows <= len(vec)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n_rows, vec.shape[0]), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n_rows, vec.shape[0]), 1)
+    eye = (rows == cols).astype(vec.dtype)
+    return jnp.sum(eye * vec[None, :], axis=1, keepdims=True)
+
+
 def _fwd_tile_id():
     """Linear tile id for the forward/dq grid order (b, h, q, kv)."""
     nh, nq, nkv = (pl.num_programs(1), pl.num_programs(2),
@@ -86,7 +96,8 @@ def _dkv_tile_id():
 # forward
 # ===================================================================== #
 
-def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, seed_ref, o_ref, lse_ref,
+def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, qmask_ref, seed_ref,
+                o_ref, lse_ref,
                 m_scr, l_scr, acc_scr, *, sm_scale: float, n_kv: int,
                 dropout_rate: float):
     kv_idx = pl.program_id(3)
@@ -104,8 +115,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, seed_ref, o_ref, lse_ref,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST) * sm_scale   # (bq, bk)
 
-    kv_mask = mask_ref[0, 0]                     # (bk,) f32 {0,1}
-    s = jnp.where(kv_mask[None, :] > 0, s, MASK_VALUE)
+    # SEGMENT-mask semantics (ops/attention.py): a query attends the
+    # keys sharing its mask value — 1/0 padding masks behave as before,
+    # multi-valued masks give packed block-diagonal attention
+    kv_mask = mask_ref[0, 0]                     # (bk,) f32 segment ids
+    q_mask = _seg_col(qmask_ref[0, 0], s.shape[0])   # (bq, 1)
+    s = jnp.where(kv_mask[None, :] == q_mask, s, MASK_VALUE)
 
     m_prev = m_scr[...]                          # (bq, LANES) replicated
     l_prev = l_scr[...]
@@ -163,6 +178,8 @@ def _fwd_call(q, k, v, kv_mask, seed, sm_scale, block_q, block_k,
                          lambda b_, h_, q_, kv: (b_, h_, kv, 0)),
             pl.BlockSpec((1, 1, block_k),
                          lambda b_, h_, q_, kv: (b_, 0, kv)),
+            pl.BlockSpec((1, 1, block_q),
+                         lambda b_, h_, q_, kv: (b_, 0, q_)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
@@ -184,7 +201,7 @@ def _fwd_call(q, k, v, kv_mask, seed, sm_scale, block_q, block_k,
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary"),
         ),
-    )(q, k, v, kv_mask, seed)
+    )(q, k, v, kv_mask, kv_mask, seed)
     return o, lse[:, :, :, 0, :].reshape(b, h, s)
 
 
@@ -192,7 +209,7 @@ def _fwd_call(q, k, v, kv_mask, seed, sm_scale, block_q, block_k,
 # backward
 # ===================================================================== #
 
-def _recompute_p(q_ref, k_ref, mask_ref, lse_ref, sm_scale):
+def _recompute_p(q_ref, k_ref, mask_ref, qmask_ref, lse_ref, sm_scale):
     q = q_ref[0, 0].astype(jnp.float32)           # (bq, d)
     k = k_ref[0, 0].astype(jnp.float32)           # (bk, d)
     s = jax.lax.dot_general(
@@ -200,12 +217,14 @@ def _recompute_p(q_ref, k_ref, mask_ref, lse_ref, sm_scale):
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST) * sm_scale
     kv_mask = mask_ref[0, 0]
-    s = jnp.where(kv_mask[None, :] > 0, s, MASK_VALUE)
+    q_mask = _seg_col(qmask_ref[0, 0], s.shape[0])
+    s = jnp.where(kv_mask[None, :] == q_mask, s, MASK_VALUE)
     lse = lse_ref[0, 0][:, :1]                    # (bq, 1)
     return q, k, jnp.exp(s - lse)                 # p: (bq, bk)
 
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, qmask_ref, do_ref,
+                    lse_ref,
                     di_ref, seed_ref, dk_ref, dv_ref, dk_scr, dv_scr,
                     *, sm_scale: float, n_q: int, dropout_rate: float):
     q_idx = pl.program_id(3)
@@ -215,7 +234,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
-    q, k, p = _recompute_p(q_ref, k_ref, mask_ref, lse_ref, sm_scale)
+    q, k, p = _recompute_p(q_ref, k_ref, mask_ref, qmask_ref,
+                           lse_ref, sm_scale)
     v = v_ref[0, 0].astype(jnp.float32)           # (bk, d)
     do = do_ref[0, 0].astype(jnp.float32)         # (bq, d)
     di = di_ref[0, 0][:, :1]                      # (bq, 1)
@@ -253,7 +273,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
         dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, qmask_ref, do_ref,
+                   lse_ref,
                    di_ref, seed_ref, dq_ref, dq_scr,
                    *, sm_scale: float, n_kv: int, dropout_rate: float):
     kv_idx = pl.program_id(3)
@@ -262,7 +283,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
     def _init():
         dq_scr[...] = jnp.zeros_like(dq_scr)
 
-    q, k, p = _recompute_p(q_ref, k_ref, mask_ref, lse_ref, sm_scale)
+    q, k, p = _recompute_p(q_ref, k_ref, mask_ref, qmask_ref,
+                           lse_ref, sm_scale)
     v = v_ref[0, 0].astype(jnp.float32)
     do = do_ref[0, 0].astype(jnp.float32)
     di = di_ref[0, 0][:, :1]
@@ -325,13 +347,15 @@ def _sb_dot(a, b, dims):
         preferred_element_type=jnp.float32, precision=prec)
 
 
-def _sb_probs(q_ref, k_ref, mask_ref, i, d, sm_scale):
-    """(s_q, s_kv) normalized attention probs for head i, f32."""
+def _sb_probs(q_ref, k_ref, mask_ref, i, d, sm_scale, qm):
+    """(s_q, s_kv) normalized attention probs for head i, f32, under
+    segment-mask equality (ops/attention.py); ``qm`` is the hoisted
+    (s_q, 1) query-side mask column."""
     q = q_ref[0][:, i * d:(i + 1) * d]
     k = k_ref[0][:, i * d:(i + 1) * d]
     s_ = _sb_dot(q, k, ((1,), (1,))) * sm_scale
-    kv_mask = mask_ref[0, 0]                       # (s,)
-    s_ = jnp.where(kv_mask[None, :] > 0, s_, MASK_VALUE)
+    kv_mask = mask_ref[0, 0]                       # (s,) segment ids
+    s_ = jnp.where(kv_mask[None, :] == qm, s_, MASK_VALUE)
     m = jnp.max(s_, axis=1, keepdims=True)
     p = jnp.exp(s_ - m)
     return p / jnp.sum(p, axis=1, keepdims=True)
@@ -341,8 +365,9 @@ def _sb_fwd_kernel(q_ref, k_ref, v_ref, mask_ref, seed_ref, o_ref,
                    *, sm_scale: float, n_heads: int, d: int,
                    dropout_rate: float):
     cdt = o_ref.dtype
+    qm = _seg_col(mask_ref[0, 0], q_ref.shape[1])
     for i in range(n_heads):
-        p = _sb_probs(q_ref, k_ref, mask_ref, i, d, sm_scale)
+        p = _sb_probs(q_ref, k_ref, mask_ref, i, d, sm_scale, qm)
         if dropout_rate > 0.0:
             tid = pl.program_id(0) * n_heads + i
             keep = _keep_mask(seed_ref, dropout_rate, tid, p.shape)
@@ -357,8 +382,9 @@ def _sb_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, seed_ref,
                    *, sm_scale: float, n_heads: int, d: int,
                    dropout_rate: float):
     cdt = q_ref.dtype
+    qm = _seg_col(mask_ref[0, 0], q_ref.shape[1])
     for i in range(n_heads):
-        p = _sb_probs(q_ref, k_ref, mask_ref, i, d, sm_scale)
+        p = _sb_probs(q_ref, k_ref, mask_ref, i, d, sm_scale, qm)
         do = do_ref[0][:, i * d:(i + 1) * d]
         v = v_ref[0][:, i * d:(i + 1) * d]
         dp = _sb_dot(do, v, ((1,), (1,)))          # (s, s) f32
@@ -491,6 +517,13 @@ def _flash_core_bwd(sm_scale, block_q, block_k, dropout_rate, res, do):
             return lambda b_, h_, kv, q_: (b_, 0, kv)
         return lambda b_, h_, q_, kv: (b_, 0, kv)
 
+    def qmask_spec(which):
+        # the SAME (b, 1, s) mask array viewed with q-indexed blocks
+        # (segment-mask equality needs the query rows' values too)
+        if which == "dkv":
+            return lambda b_, h_, kv, q_: (b_, 0, q_)
+        return lambda b_, h_, q_, kv: (b_, 0, q_)
+
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, sm_scale=sm_scale, n_q=n_q,
                           dropout_rate=dropout_rate),
@@ -500,6 +533,7 @@ def _flash_core_bwd(sm_scale, block_q, block_k, dropout_rate, res, do):
             pl.BlockSpec((1, 1, block_k, d), kv_spec("dkv")),
             pl.BlockSpec((1, 1, block_k, d), kv_spec("dkv")),
             pl.BlockSpec((1, 1, block_k), mask_spec("dkv")),
+            pl.BlockSpec((1, 1, block_q), qmask_spec("dkv")),
             pl.BlockSpec((1, 1, block_q, d), q_spec("dkv")),
             pl.BlockSpec((1, 1, block_q, LANES), q_spec("dkv")),
             pl.BlockSpec((1, 1, block_q, LANES), q_spec("dkv")),
@@ -521,7 +555,7 @@ def _flash_core_bwd(sm_scale, block_q, block_k, dropout_rate, res, do):
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary"),
         ),
-    )(q, k, v, kv_mask, do, lse_t, di_t, seed)
+    )(q, k, v, kv_mask, kv_mask, do, lse_t, di_t, seed)
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, sm_scale=sm_scale, n_kv=n_kv,
@@ -532,6 +566,7 @@ def _flash_core_bwd(sm_scale, block_q, block_k, dropout_rate, res, do):
             pl.BlockSpec((1, 1, block_k, d), kv_spec("dq")),
             pl.BlockSpec((1, 1, block_k, d), kv_spec("dq")),
             pl.BlockSpec((1, 1, block_k), mask_spec("dq")),
+            pl.BlockSpec((1, 1, block_q), qmask_spec("dq")),
             pl.BlockSpec((1, 1, block_q, d), q_spec("dq")),
             pl.BlockSpec((1, 1, block_q, LANES), q_spec("dq")),
             pl.BlockSpec((1, 1, block_q, LANES), q_spec("dq")),
@@ -544,7 +579,7 @@ def _flash_core_bwd(sm_scale, block_q, block_k, dropout_rate, res, do):
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary"),
         ),
-    )(q, k, v, kv_mask, do, lse_t, di_t, seed)
+    )(q, k, v, kv_mask, kv_mask, do, lse_t, di_t, seed)
 
     return dq, dk, dv, None, None
 
@@ -558,7 +593,10 @@ def flash_attention(q_bshd, k_bshd, v_bshd, attn_mask,
                     block_k: int | None = None,
                     dropout_rate: float = 0.0,
                     dropout_rng=None) -> jnp.ndarray:
-    """Public entry: (b, s, h, d) q/k/v + (b, s) padding mask -> (b, s, h, d).
+    """Public entry: (b, s, h, d) q/k/v + (b, s) SEGMENT mask ->
+    (b, s, h, d).  Mask semantics follow ops/attention.py: 0 = pad,
+    k >= 1 = packed-segment id; a query attends exactly the keys sharing
+    its mask value (plain 1/0 masks keep their old meaning).
 
     ``dropout_rate > 0`` enables in-kernel attention-prob dropout (the
     reference's ``bert_dropout`` inside HF attention); ``dropout_rng`` (a
@@ -595,7 +633,10 @@ def flash_attention(q_bshd, k_bshd, v_bshd, attn_mask,
         v2 = pad_sb(v_bshd, s_kv).reshape(b, s_kv, h * d)
         mask2 = attn_mask.astype(jnp.float32)
         if s_kv != s:
-            mask2 = jnp.pad(mask2, ((0, 0), (0, s_kv - s)))
+            # -1 padding: under segment-equality masking the in-range
+            # pad rows keep the same attended set as the unpadded oracle
+            mask2 = jnp.pad(mask2, ((0, 0), (0, s_kv - s)),
+                            constant_values=-1.0)
         out = _sb_core(q2, k2, v2, mask2[:, None, :], seed,
                        float(sm_scale), h, dropout_rate)
         return out[:, :s].reshape(b, s, h, d).astype(q_bshd.dtype)
@@ -619,7 +660,8 @@ def flash_attention(q_bshd, k_bshd, v_bshd, attn_mask,
     v = jnp.transpose(pad_seq(v_bshd), (0, 2, 1, 3))
     mask = attn_mask.astype(jnp.float32)
     if s_pad != s:
-        mask = jnp.pad(mask, ((0, 0), (0, s_pad - s)))
+        mask = jnp.pad(mask, ((0, 0), (0, s_pad - s)),
+                       constant_values=-1.0)
     # (b, 1, s): the singleton middle dim satisfies the TPU block-shape
     # rule for the (1, 1, block_k) mask tiles
     mask = mask[:, None, :]

@@ -74,18 +74,38 @@ def _dot(a, b, dims=((1,), (0,))):
                                precision=prec)
 
 
-def _head_probs(qkv, r0, s_p, s_kv, h, d, i, m, sm_scale):
+def _seg_mask_col(m, s_p, s_kv):
+    """(s_p, 1) column of each QUERY row's segment-mask value, extracted
+    from the (s_kv,) lane-vector ``m`` without any sublane-shaped input:
+    build the rectangular identity from two broadcasted iotas, multiply
+    by the broadcast mask row and lane-reduce — a diagonal gather as
+    pure VPU work (s_p <= s_kv always holds here)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (s_p, s_kv), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (s_p, s_kv), 1)
+    eye = (rows == cols).astype(m.dtype)
+    return jnp.sum(eye * m[None, :], axis=1, keepdims=True)
+
+
+def _head_probs(qkv, r0, s_p, s_kv, h, d, i, m, sm_scale, qm=None):
     """Normalized (s_p, s_kv = s_p) attention probs (f32) + k, v slices
     for head i of the element whose rows start at r0.  No kv padding:
     Mosaic handles non-128 lane dims on the score matrix (an in-kernel
     zero-pad concatenate is rejected anyway — lane-offset slices and
     fresh zeros have mismatched vector layouts), and a (96, 96) score
-    matrix beats the single-block flash kernel's (96, 128)."""
+    matrix beats the single-block flash kernel's (96, 128).
+
+    SEGMENT-mask semantics (ops/attention.py:multi_head_attention): a
+    query attends exactly the keys sharing its mask value, so 1/0 masks
+    behave as before and multi-valued masks give packed block-diagonal
+    attention.  ``qm`` is the per-element (s_p, 1) query-side column
+    (hoisted out of the head loop by the callers via _seg_mask_col)."""
     q = qkv[r0:r0 + s_p, i * d:(i + 1) * d]
     k = qkv[r0:r0 + s_p, h + i * d:h + (i + 1) * d]
     v = qkv[r0:r0 + s_p, 2 * h + i * d:2 * h + (i + 1) * d]
     s_ = _dot(q, k, ((1,), (1,))) * sm_scale
-    s_ = jnp.where(m[None, :] > 0, s_, MASK_VALUE)
+    if qm is None:
+        qm = _seg_mask_col(m, s_p, s_kv)
+    s_ = jnp.where(m[None, :] == qm, s_, MASK_VALUE)
     mx = jnp.max(s_, axis=1, keepdims=True)
     p = jnp.exp(s_ - mx)
     p = p / jnp.sum(p, axis=1, keepdims=True)
@@ -134,9 +154,10 @@ def _fab_fwd_kernel(x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, ls_ref,
         elem = pl.program_id(0) * block_b + e
         r0 = e * s_p
         m = mask_ref[e, 0]
+        qm = _seg_mask_col(m, s_p, s_kv)
         for i in range(n_heads):
             p, _, _, v = _head_probs(qkv, r0, s_p, s_kv, h, d, i, m,
-                                     sm_scale)
+                                     sm_scale, qm)
             if attn_rate > 0.0:
                 keep = _keep_mask(seed_ref, attn_rate,
                                   elem * n_heads + i, p.shape)
@@ -201,9 +222,10 @@ def _fab_bwd_kernel(x_ref, wqkv_ref, bqkv_ref, wo_ref, ls_ref, mask_ref,
         elem = pl.program_id(0) * block_b + e
         r0 = e * s_p
         m = mask_ref[e, 0]
+        qm = _seg_mask_col(m, s_p, s_kv)
         for i in range(n_heads):
             p, q, k, v = _head_probs(qkv, r0, s_p, s_kv, h, d, i, m,
-                                     sm_scale)
+                                     sm_scale, qm)
             do_i = dctx[r0:r0 + s_p, i * d:(i + 1) * d].astype(cdt)
             dp = _dot(do_i, v, ((1,), (1,)))          # (s_p, s_kv) f32
             if attn_rate > 0.0:
@@ -419,9 +441,10 @@ def _fab_fwd_kernel_i8(x_ref, wqkvq_ref, wqkvs_ref, bqkv_ref, woq_ref,
         elem = pl.program_id(0) * block_b + e
         r0 = e * s_p
         m = mask_ref[e, 0]
+        qm = _seg_mask_col(m, s_p, s_kv)
         for i in range(n_heads):
             p, _, _, v = _head_probs(qkv, r0, s_p, s_kv, h, d, i, m,
-                                     sm_scale)
+                                     sm_scale, qm)
             if attn_rate > 0.0:
                 keep = _keep_mask(seed_ref, attn_rate,
                                   elem * n_heads + i, p.shape)
@@ -562,9 +585,10 @@ def _fab_bwd_kernel_i8(x_ref, wqkvq_ref, wqkvs_ref, bqkv_ref, woq_ref,
         elem = pl.program_id(0) * block_b + e
         r0 = e * s_p
         m = mask_ref[e, 0]
+        qm = _seg_mask_col(m, s_p, s_kv)
         for i in range(n_heads):
             p, q, k, v = _head_probs(qkv, r0, s_p, s_kv, h, d, i, m,
-                                     sm_scale)
+                                     sm_scale, qm)
             do_i = dctx[r0:r0 + s_p, i * d:(i + 1) * d].astype(cdt)
             dp = _dot(do_i, v, ((1,), (1,)))
             if attn_rate > 0.0:
@@ -699,8 +723,13 @@ def fused_attention_block_int8_train(x: jnp.ndarray, wqkv, bqkv, wo, bo,
     xp = x
     if b_pad != b or s_p != s:
         xp = jnp.pad(x, ((0, b_pad - b), (0, s_p - s), (0, 0)))
+    # pad the mask with -1 (a segment id no real position carries):
+    # under segment-EQUALITY masking this keeps every in-range pad row's
+    # attended set identical to the unpadded XLA oracle's, whatever
+    # internal seq padding the kernel uses
     mask2 = jnp.pad(attn_mask.astype(jnp.float32),
-                    ((0, b_pad - b), (0, s_kv - s)))[:, None, :]
+                    ((0, b_pad - b), (0, s_kv - s)),
+                    constant_values=-1.0)[:, None, :]
     x2 = xp.reshape(b_pad * s_p, h)
     core = _fab_core_i8b if int8_bwd else _fab_core_i8
     y = core(x2, wqkv, bqkv, wo, bo, ln_scale, ln_bias, mask2,
@@ -741,8 +770,13 @@ def fused_attention_block(x: jnp.ndarray, wqkv, bqkv, wo, bo, ln_scale,
     xp = x
     if b_pad != b or s_p != s:
         xp = jnp.pad(x, ((0, b_pad - b), (0, s_p - s), (0, 0)))
+    # pad the mask with -1 (a segment id no real position carries):
+    # under segment-EQUALITY masking this keeps every in-range pad row's
+    # attended set identical to the unpadded XLA oracle's, whatever
+    # internal seq padding the kernel uses
     mask2 = jnp.pad(attn_mask.astype(jnp.float32),
-                    ((0, b_pad - b), (0, s_kv - s)))[:, None, :]
+                    ((0, b_pad - b), (0, s_kv - s)),
+                    constant_values=-1.0)[:, None, :]
     x2 = xp.reshape(b_pad * s_p, h)
     y = _fab_core(x2, wqkv, bqkv, wo, bo, ln_scale, ln_bias, mask2,
                   seed, int(n_heads), a_rate, h_rate, float(eps),

@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_attention import MASK_VALUE
+from .fused_attention import MASK_VALUE, _seg_mask_col
 from .fused_gelu import _erf, _INV_SQRT2
 
 LANES = 128
@@ -167,6 +167,10 @@ def _attn_i8_kernel(x_ref, wqkvq_ref, wqkvs_ref, bqkv_ref, woq_ref,
     for e in range(block_b):
         r0 = e * s_p
         m = mask_ref[e, 0]
+        # segment-mask semantics (ops/attention.py): query attends the
+        # keys sharing its mask value (1/0 masks unchanged; packed rows
+        # get block-diagonal attention)
+        qm = _seg_mask_col(m, s_p, m.shape[0])
         for i in range(n_heads):
             q = qkv[r0:r0 + s_p, i * d:(i + 1) * d]
             k = qkv[r0:r0 + s_p, h + i * d:h + (i + 1) * d]
@@ -174,7 +178,7 @@ def _attn_i8_kernel(x_ref, wqkvq_ref, wqkvs_ref, bqkv_ref, woq_ref,
             s_ = jax.lax.dot_general(
                 q, k, ((((1,), (1,))), ((), ())),
                 preferred_element_type=f32) * sm_scale
-            s_ = jnp.where(m[None, :] > 0, s_, MASK_VALUE)
+            s_ = jnp.where(m[None, :] == qm, s_, MASK_VALUE)
             mx = jnp.max(s_, axis=1, keepdims=True)
             p = jnp.exp(s_ - mx)
             p = p / jnp.sum(p, axis=1, keepdims=True)
@@ -210,8 +214,10 @@ def int8_attention_block(x: jnp.ndarray, wqkvq, wqkvs, bqkv, woq, wos,
     xp = x
     if b_pad != b or s_p != s:
         xp = jnp.pad(x, ((0, b_pad - b), (0, s_p - s), (0, 0)))
+    # -1 seq padding: see fused_attention (segment-equality masking)
     mask2 = jnp.pad(attn_mask.astype(jnp.float32),
-                    ((0, b_pad - b), (0, s_p - s)))[:, None, :]
+                    ((0, b_pad - b), (0, s_p - s)),
+                    constant_values=-1.0)[:, None, :]
     x2 = xp.reshape(b_pad * s_p, h)
     n = x2.shape[0]
     R = block_b * s_p

@@ -76,6 +76,16 @@ def _constrain_micro(micro: Dict[str, jnp.ndarray], mesh: Optional[Mesh]
 def _forward_and_loss(params, cfg: ModelConfig, loss_cfg: LossConfig,
                       hier, micro, *, deterministic, rng,
                       dual_stream: bool):
+    """Returns ``loss, (parts, top, probs, labels, row_mask)``.
+
+    ``labels``/``row_mask`` are the per-UTTERANCE arrays downstream
+    decode/metrics must use: for plain micros they are the micro's own
+    labels + example_mask; for PACKED micros (``cls_pos`` present — see
+    data/packing.py) every model output already has one row per packed
+    segment, labels flatten (b, n_seg, n_bottom) -> (b*n_seg, n_bottom)
+    and the mask ANDs the row example_mask with the per-segment mask."""
+    packed = "cls_pos" in micro
+
     top, probs, final, asr_cls, trans_cls = model_forward(
         params, cfg, hier,
         micro["input_ids"], micro["attn_mask"],
@@ -84,12 +94,30 @@ def _forward_and_loss(params, cfg: ModelConfig, loss_cfg: LossConfig,
         trans_attn_mask=micro.get("trans_attn_mask") if dual_stream else None,
         trans_token_type_ids=micro.get("trans_segment_ids")
         if dual_stream else None,
-        deterministic=deterministic, rng=rng)
+        deterministic=deterministic, rng=rng,
+        position_ids=micro.get("position_ids"),
+        trans_position_ids=micro.get("trans_position_ids")
+        if dual_stream else None,
+        cls_positions=micro.get("cls_pos"),
+        trans_cls_positions=micro.get("trans_cls_pos")
+        if dual_stream else None)
+
+    if packed:
+        labels = micro["labels"].reshape(-1, micro["labels"].shape[-1])
+        row_mask = micro["seg_mask"]
+        em = micro.get("example_mask")
+        if em is not None:
+            row_mask = row_mask * em[:, None]
+        row_mask = row_mask.reshape(-1)
+    else:
+        labels = micro["labels"]
+        row_mask = micro.get("example_mask")
+
     loss, parts = total_loss(
-        top, probs, final, micro["labels"], hier, loss_cfg,
+        top, probs, final, labels, hier, loss_cfg,
         asr_cls=asr_cls, trans_cls=trans_cls,
-        example_mask=micro.get("example_mask"))
-    return loss, (parts, top, probs)
+        example_mask=row_mask)
+    return loss, (parts, top, probs, labels, row_mask)
 
 
 def make_train_step(cfg: ModelConfig, loss_cfg: LossConfig, optimizer,
@@ -131,13 +159,12 @@ def make_train_step(cfg: ModelConfig, loss_cfg: LossConfig, optimizer,
                     deterministic=False, rng=mrng,
                     dual_stream=dual_stream)
 
-            (loss, (parts, top, probs)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params)
+            (loss, (parts, top, probs, labels, row_mask)), grads = \
+                jax.value_and_grad(loss_fn, has_aux=True)(state.params)
             # train-time monitor (ref :283-288): decode from the training
             # forward outputs
             pred = decode_multihot(top, probs, hier)
-            counts = f1_counts_from_multihot(
-                pred, micro["labels"], micro.get("example_mask"))
+            counts = f1_counts_from_multihot(pred, labels, row_mask)
             return grads, parts, counts
 
         if data_mode == "index":
@@ -229,13 +256,12 @@ def make_eval_step(cfg: ModelConfig, loss_cfg: LossConfig,
 
     def eval_step(params, data, idx):
         micro = _gather_micro(data, idx, mesh)
-        loss, (parts, top, probs) = _forward_and_loss(
+        loss, (parts, top, probs, labels, row_mask) = _forward_and_loss(
             params, cfg, eval_loss_cfg, hier, micro,
             deterministic=True, rng=jax.random.PRNGKey(0),
             dual_stream=dual_stream)
         pred = decode_multihot(top, probs, hier)
-        counts = f1_counts_from_multihot(
-            pred, micro["labels"], micro.get("example_mask"))
+        counts = f1_counts_from_multihot(pred, labels, row_mask)
         if gather_out:
             rep = NamedSharding(mesh, P())
             pred = jax.lax.with_sharding_constraint(pred, rep)

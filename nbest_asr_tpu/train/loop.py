@@ -202,9 +202,36 @@ class Trainer:
                 "path keeps the whole train split device-resident, which "
                 "no single process can provide on a multi-host mesh")
         self._shard = None
+        # example packing (train only; data/packing.py): several
+        # utterances per fixed-shape row — one packed "bucket", one
+        # compiled shape, ~full token occupancy at the long-seq MFU
+        self._packed_train = bool(opt.pack_examples) and "train" in self.data
+        if self._packed_train and self.direct_data:
+            raise ValueError("--pack_examples is an index-mode feature; "
+                             "--data_mode direct packs per process shard "
+                             "(not implemented)")
         self.buckets: Dict[str, List[_Bucket]] = {}
         for name, d in self.data.items():
             if self.direct_data and name == "train":
+                continue
+            if name == "train" and self._packed_train:
+                from ..data.packing import pack_train_data
+
+                pk, bins = pack_train_data(d, opt.pack_capacity,
+                                           opt.pack_max_segs)
+                if self.logger:
+                    real = int(sum(len(b) for b in bins))
+                    cap = pk["input_ids"].shape[1]
+                    fill = float(pk["attn_mask"].astype(bool).sum()) / (
+                        len(bins) * cap)
+                    self.logger.info(
+                        "packed train: %d utterances -> %d rows of %d "
+                        "tokens (%.1f%% occupancy)"
+                        % (real, len(bins), cap, 100 * fill))
+                self.buckets[name] = [_Bucket(
+                    data={k: self._put_replicated(v)
+                          for k, v in pk.items()},
+                    rows=np.arange(len(bins)))]
                 continue
             if bucket_lens:
                 self.buckets[name] = _make_buckets(d, bucket_lens,
@@ -231,7 +258,8 @@ class Trainer:
         # right progress fraction (the plan is deterministic: shuffling
         # permutes rows, never the per-bucket step counts)
         n_train = len(packed["train"]) if "train" in packed else 1
-        if (opt.token_budget or opt.length_buckets) and "train" in packed:
+        if (opt.token_budget or opt.length_buckets
+                or self._packed_train) and "train" in packed:
             steps_per_epoch = self._train_steps_per_epoch()
             t_total = max(steps_per_epoch, 1) * opt.max_epoch
         else:
@@ -348,7 +376,8 @@ class Trainer:
             stats_acc = stats if stats_acc is None else jax.tree.map(
                 jnp.add, stats_acc, stats)
         stats = jax.device_get(stats_acc)
-        return self._metrics_from_counts(stats, n_rows_total)
+        return self._metrics_from_counts(
+            stats, None if self._packed_train else n_rows_total)
 
     def _run_train_epoch_direct(self) -> EpochMetrics:
         """Multi-host train epoch: every process runs this same loop,
@@ -497,13 +526,17 @@ class Trainer:
                 if set(pc) != set(gold):
                     efp.write(line)
 
-    def _metrics_from_counts(self, stats, n_rows: int) -> EpochMetrics:
+    def _metrics_from_counts(self, stats,
+                             n_rows: Optional[int]) -> EpochMetrics:
         c = stats["counts"]
         p, r, f = compute_f1(float(c["tp"]), float(c["fp"]),
                              float(c["fn"]))
         total = max(float(c["total"]), 1.0)
         acc = float(c["correct"]) / total * 100
-        mean_loss = float(stats["loss"]["total"]) / max(n_rows, 1)
+        # n_rows None (packed epochs): rows hold several utterances, so
+        # the exact on-device utterance count is the loss denominator
+        denom = total if n_rows is None else max(n_rows, 1)
+        mean_loss = float(stats["loss"]["total"]) / denom
         return EpochMetrics(mean_loss, p, r, f, acc)
 
     # ------------------------------------------------------------------ #

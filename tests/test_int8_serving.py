@@ -54,7 +54,10 @@ def _attn_oracle(x, wqkvq, wqkvs, bqkv, woq, wos, bo, ls, lb, mask):
     k = k.reshape(b, s, HEADS, d)
     v = v.reshape(b, s, HEADS, d)
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(d)
-    scores = jnp.where(mask[:, None, None, :] > 0, scores, -1e9)
+    # segment-equality masking (ops/attention.py): a query attends the
+    # keys sharing its mask value
+    scores = jnp.where(mask[:, None, None, :] == mask[:, None, :, None],
+                       scores, -1e9)
     p = jax.nn.softmax(scores, axis=-1)
     ctx = jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(b, s, h)
     out = dense_int8(ctx, woq, wos, bo)
