@@ -59,9 +59,36 @@ class Predictor:
                  bucket_lens: tuple = (64, 96, 160, 256),
                  quantize: "str | None" = None,
                  fused_attn_eval: "bool | None" = None):
-        if quantize not in (None, "int8"):
-            raise ValueError(f"quantize: expected None or 'int8', "
-                             f"got {quantize!r}")
+        if quantize not in (None, "none", "int8"):
+            raise ValueError(f"quantize: expected None, 'none' or "
+                             f"'int8', got {quantize!r}")
+        # serving-side default: INT8 on TPU.  The round-4 serving-
+        # numerics gate measured zero F1/Acc cost and 100% prediction
+        # agreement on both splits (tools/serving_quality.py; CPU
+        # red-capable gate tests/test_serving_quality.py), and int8 wins
+        # both latency regimes (sync p50 56.5 vs 66.1 ms bf16; async
+        # 19.6 vs 23.2-31.0 ms/batch-64 — docs/PERFORMANCE.md).  Auto
+        # applies ONLY when the int8 megakernels will actually take the
+        # weights (TPU backend, fused kernels on, 128-lane dims, weights
+        # under the VMEM residency budget): the XLA dense_int8 fallback
+        # measured SLOWER than bf16 and must not be defaulted into.
+        # ``quantize='none'`` forces bf16.
+        if quantize is None:
+            from .models.encoder import (_attn_weight_bytes,
+                                         _ffn_weight_bytes,
+                                         kernel_vmem_budget)
+            from .ops.attention import resolve_flash
+
+            enc = cfg.encoder
+            lanes_ok = (enc.hidden_size % 128 == 0
+                        and enc.intermediate_size % 128 == 0
+                        and enc.head_dim % 64 == 0)
+            budget = kernel_vmem_budget()
+            fits = (_attn_weight_bytes(enc, True) <= budget
+                    and _ffn_weight_bytes(enc, True) <= budget)
+            quantize = "int8" if (resolve_flash(None) and lanes_ok
+                                  and fits and enc.use_fused_attn
+                                  and enc.use_fused_ffn) else "none"
         # serving-side default: route the deterministic bf16 forward
         # through the attention megakernel at rate-0 dropout.  Measured
         # (serve_bench, v5e, batch 64): 23.2 ms/batch pipelined vs 31.0
@@ -81,6 +108,7 @@ class Predictor:
             cfg = dataclasses.replace(
                 cfg, encoder=dataclasses.replace(
                     cfg.encoder, use_fused_attn_eval=True))
+        self.quantize = quantize            # resolved serving mode
         if quantize == "int8":
             # weight-only int8 of the encoder GEMMs + dynamic per-token
             # activation quant inside the forward (ops/quant.py); int8

@@ -34,10 +34,13 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--max_len", type=int, default=256)
     ap.add_argument("--iters", type=int, default=30)
-    ap.add_argument("--quantize", choices=["int8"], default=None,
+    ap.add_argument("--quantize", choices=["int8", "none"],
+                    default=None,
                     help="weight-only int8 encoder (ops/quant.py; with "
                     "fused kernels on, routes the int8 serving "
-                    "megakernels of ops/int8_serving.py)")
+                    "megakernels of ops/int8_serving.py).  Default: the "
+                    "Predictor's auto rule (int8 on TPU when the "
+                    "megakernels route); 'none' forces bf16")
     ap.add_argument("--no_fused", action="store_true",
                     help="force the XLA serving path (for int8: the "
                     "round-2 dense_int8 path with unfused quant)")
@@ -154,7 +157,7 @@ def main() -> int:
 
     print(json.dumps({
         "metric": "dstc2_serving",
-        "quantize": args.quantize,
+        "quantize": pred.quantize,
         "tokenizer": args.tokenizer,
         "native_pack": native_pack,
         "host_pack_p50_ms": round(float(np.percentile(pack_ms, 50)), 2),

@@ -60,11 +60,15 @@ def build_arms(on_tpu: bool):
     """Arm name -> Predictor kwargs.  The Pallas serving kernels are
     TPU-only; on CPU the int8 arm still runs through the XLA dense_int8
     path (same quantized math, different fusion)."""
-    arms = {"bf16_xla": dict(fused_attn_eval=False),
+    # quantize='none' pins the bf16 arms: Predictor's serving default
+    # is now AUTO-int8 on TPU (serve.py), and this gate is exactly the
+    # bf16-reference measurement that justified the flip
+    arms = {"bf16_xla": dict(quantize="none", fused_attn_eval=False),
             "int8": dict(quantize="int8",
                          fused_attn_eval=bool(on_tpu))}
     if on_tpu:
-        arms["fused_attn_eval"] = dict(fused_attn_eval=True)
+        arms["fused_attn_eval"] = dict(quantize="none",
+                                       fused_attn_eval=True)
     return arms
 
 
