@@ -127,15 +127,18 @@ def main() -> None:
         use_flash_attention=resolve_flash(None),
         use_fused_ffn=resolve_flash(None),
         use_fused_attn=resolve_flash(None),
-        # NBEST_BENCH_INT8=1 probes the int8-forward training config
-        # (--int8_train --int8_train_attn); =2 adds the int8 FFN
-        # backward (--int8_train_bwd).  Same harness, same buckets.
-        use_int8_train=bool(int(os.environ.get("NBEST_BENCH_INT8",
-                                               "0"))),
-        use_int8_train_attn=bool(int(os.environ.get("NBEST_BENCH_INT8",
-                                                    "0"))),
+        # int8 training GEMMs are the TPU shipping default (round-5
+        # ship decision: quality-neutral at n=10 on the pretrained
+        # protocol, QUALITY.md; +5.7% step throughput).  The bench
+        # matches the trainer's auto default (full fwd+attn+bwd stack,
+        # NBEST_BENCH_INT8=2); =1 probes forward-only int8, =0 forces
+        # the bf16 megakernels (--no_int8_train*).
+        use_int8_train=int(os.environ.get("NBEST_BENCH_INT8",
+                                          "2")) >= 1,
+        use_int8_train_attn=int(os.environ.get("NBEST_BENCH_INT8",
+                                               "2")) >= 1,
         use_int8_train_bwd=int(os.environ.get("NBEST_BENCH_INT8",
-                                              "0")) >= 2)
+                                              "2")) >= 2)
     cfg = ModelConfig(encoder=enc, n_top=memory.n_top,
                       n_bottom=memory.n_bottom)
     # init on the CPU backend: dozens of tiny init compiles would each

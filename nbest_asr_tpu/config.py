@@ -94,16 +94,21 @@ class RunOptions:
     # attention-block megakernel (ops/fused_attention.py) on TPU —
     # QKV GEMM + attention + out-proj + dropout/residual/LN fused,
     # training path, seq <= 512
-    int8_train: bool = False              # int8 FORWARD GEMMs in the
-    # training FFN megakernel (bf16 backward) — the measured int8
-    # training probe (ops/fused_ffn.fused_ffn_block_int8_train)
-    int8_train_attn: bool = False         # extend --int8_train to the
+    int8_train: "bool | None" = None      # int8 FORWARD GEMMs in the
+    # training FFN megakernel (bf16 backward otherwise).  None = auto:
+    # ON when training on a TPU backend with bfloat16 compute (where
+    # the megakernels route); measured quality-neutral at n=10 on the
+    # pretrained protocol (QUALITY.md int8-training table: test F1
+    # 88.53 ± 0.53 int8 fwd+attn+bwd vs 88.46 ± 0.57 bf16, identical
+    # accuracy) for +5.7% step throughput (PERFORMANCE.md)
+    int8_train_attn: "bool | None" = None  # extend int8-train to the
     # attention megakernel's QKV + out-proj GEMMs
-    # (ops/fused_attention.fused_attention_block_int8_train)
-    int8_train_bwd: bool = False          # extend --int8_train /
-    # --int8_train_attn to the backwards' dgrad + recompute GEMMs
-    # (quantized-gradient rounding enters dgrads; measured with its
-    # own quality arm)
+    # (ops/fused_attention.fused_attention_block_int8_train);
+    # same auto rule as int8_train
+    int8_train_bwd: "bool | None" = None  # extend int8-train to the
+    # backwards' dgrad + recompute GEMMs (quantized-gradient rounding
+    # enters dgrads; measured with its own quality arms — see
+    # QUALITY.md); same auto rule as int8_train
     flash_min_seq: int = 160              # flash-attention routing
     # threshold (bucketed seq >= this trains on the Pallas kernel);
     # serialized into the exp dir when non-default, dumped with the rest
@@ -277,18 +282,34 @@ def parse_arguments(argv=None) -> RunOptions:
     p.add_argument("--no_fused_attn", dest="use_fused_attn",
                    action="store_false",
                    help="force the XLA attention path")
-    p.add_argument("--int8_train", action="store_true",
+    p.add_argument("--int8_train", action="store_true", default=None,
                    help="int8 forward GEMMs in the training FFN "
                    "megakernel (bf16 backward); requires the fused FFN "
-                   "kernel + bf16 compute")
+                   "kernel + bf16 compute (default: auto — on for "
+                   "TPU + bfloat16, quality-neutral at n=10, "
+                   "QUALITY.md)")
+    p.add_argument("--no_int8_train", dest="int8_train",
+                   action="store_false",
+                   help="force bf16 GEMMs in the training FFN kernel")
     p.add_argument("--int8_train_attn", action="store_true",
+                   default=None,
                    help="also run the attention megakernel's QKV + "
                    "out-proj forward GEMMs int8 (requires "
-                   "--fused_attn; independent of --int8_train)")
+                   "--fused_attn; independent of --int8_train; "
+                   "default: auto — on for TPU + bfloat16)")
+    p.add_argument("--no_int8_train_attn", dest="int8_train_attn",
+                   action="store_false",
+                   help="force bf16 GEMMs in the training attention "
+                   "kernel")
     p.add_argument("--int8_train_bwd", action="store_true",
+                   default=None,
                    help="also run the FFN/attention backwards' dgrad + "
                    "recompute GEMMs int8 (with --int8_train / "
-                   "--int8_train_attn)")
+                   "--int8_train_attn; default: auto — on for "
+                   "TPU + bfloat16)")
+    p.add_argument("--no_int8_train_bwd", dest="int8_train_bwd",
+                   action="store_false",
+                   help="force bf16 backward GEMMs")
     p.add_argument("--flash_min_seq", type=int, default=d.flash_min_seq,
                    help="flash-attention routing threshold (bucketed "
                    "seq >= this trains on the Pallas kernel)")

@@ -59,6 +59,20 @@ from .flash_attention import MASK_VALUE, _keep_mask
 LANES = 128
 FAB_MAX_SEQ = 512     # one-VMEM-block ceiling, same as flash SB_MAX_SEQ
 
+# Per-kernel Mosaic VMEM allowance.  The compiler's DEFAULT scoped-vmem
+# limit is 16 MiB — an allocation *ceiling*, not the part's capacity
+# (v5e carries 128 MiB of VMEM per core).  The megakernels' worst
+# supported shape (seq 512, bert-large h=1024, double-buffered row
+# blocks + resident weights + attention temporaries) needs ~33 MiB, and
+# nesting the backward inside lax.scan bodies (layer scan x grad-accum
+# scan at the 12-layer reference geometry, config.n_accum_steps) adds
+# enough shared scoped overhead to tip 16-MiB-marginal shapes over
+# (observed: seq-240 bucket backward at 16.10 MiB vs the 16.00 MiB
+# default under accum=4).  64 MiB keeps every routed shape comfortably
+# legal while the weight-residency budget (models/encoder.py
+# kernel_vmem_budget) still decides WHAT routes here.
+KERNEL_VMEM_LIMIT = 64 * 2 ** 20
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -303,7 +317,8 @@ def _fab_fwd_call(x2, wqkv, bqkv, wo, bo, ls, lb, mask2, seed,
         ),
         scratch_shapes=[pltpu.VMEM((R, h), x2.dtype)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=KERNEL_VMEM_LIMIT),
     )(x2, wqkv, bqkv.reshape(1, 3 * h), wo, bo.reshape(1, h),
       ls.reshape(1, h), lb.reshape(1, h), mask2, seed)
 
@@ -339,7 +354,8 @@ def _fab_bwd_call(x2, wqkv, bqkv, wo, ls, mask2, seed, mean, rstd, od,
             jax.ShapeDtypeStruct((n, h), x2.dtype),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=KERNEL_VMEM_LIMIT),
     )(x2, wqkv, bqkv.reshape(1, 3 * h), wo, ls.reshape(1, h), mask2,
       seed, mean, rstd, od, dy)
 
@@ -502,7 +518,8 @@ def _fab_fwd_call_i8(x2, wqkv, bqkv, wo, bo, ls, lb, mask2, seed,
         ),
         scratch_shapes=[pltpu.VMEM((R, h), x2.dtype)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=KERNEL_VMEM_LIMIT),
     )(x2, wqkvq, wqkvs.reshape(1, 3 * h), bqkv.reshape(1, 3 * h), woq,
       wos.reshape(1, h), bo.reshape(1, h), ls.reshape(1, h),
       lb.reshape(1, h), mask2, seed)
@@ -652,7 +669,8 @@ def _fab_bwd_call_i8(x2, wqkv, bqkv, wo, ls, mask2, seed, mean, rstd,
             jax.ShapeDtypeStruct((n, h), x2.dtype),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=KERNEL_VMEM_LIMIT),
     )(x2, wqkvq, wqkvs.reshape(1, 3 * h), bqkv.reshape(1, 3 * h), woq,
       wos.reshape(1, h), ls.reshape(1, h), mask2, seed, mean, rstd,
       od, dy)

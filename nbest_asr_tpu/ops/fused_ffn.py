@@ -50,6 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .fused_gelu import _erf, _INV_SQRT2, _INV_SQRT2PI
 from .flash_attention import _keep_mask
+from .fused_attention import KERNEL_VMEM_LIMIT
 
 BLOCK_ROWS = 128
 BLOCK_INTER = 768
@@ -291,7 +292,8 @@ def _fwd_call(x2, w1, b1, w2, b2, ls, lb, seed, rate, eps):
         ),
         scratch_shapes=[pltpu.VMEM((bn, h), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=KERNEL_VMEM_LIMIT),
     )(x2, w1, b1.reshape(1, inter), w2, b2.reshape(1, h),
       ls.reshape(1, h), lb.reshape(1, h), seed)
     return y, y2d, mean, rstd
@@ -337,7 +339,8 @@ def _bwd_call(x2, w1, b1, w2, ls, seed, mean, rstd, y2d, dy, rate):
         ),
         scratch_shapes=[pltpu.VMEM((bn, h), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=KERNEL_VMEM_LIMIT),
     )(x2, w1, b1.reshape(1, inter), w2, ls.reshape(1, h), seed,
       mean, rstd, y2d, dy)
 
@@ -472,7 +475,8 @@ def _fwd_call_i8(x2, w1, b1, w2, b2, ls, lb, seed, rate, eps):
             jax.ShapeDtypeStruct((n, LANES), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=KERNEL_VMEM_LIMIT),
     )(x2, w1q, w1s.reshape(1, inter), b1.reshape(1, inter), w2q,
       w2s.reshape(1, h), b2.reshape(1, h), ls.reshape(1, h),
       lb.reshape(1, h), seed)
@@ -605,7 +609,8 @@ def _bwd_call_i8(x2, w1, b1, w2, ls, seed, mean, rstd, y2d, dy, rate):
         ),
         scratch_shapes=[pltpu.VMEM((bn, h), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=KERNEL_VMEM_LIMIT),
     )(x2, w1q, w1s.reshape(1, inter), b1.reshape(1, inter), w2q,
       w2s.reshape(1, h), ls.reshape(1, h), seed, mean, rstd, y2d, dy)
 

@@ -41,7 +41,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_attention import MASK_VALUE, _seg_mask_col
+from .fused_attention import (KERNEL_VMEM_LIMIT, MASK_VALUE,
+                              _seg_mask_col)
 from .fused_gelu import _erf, _INV_SQRT2
 
 LANES = 128
@@ -137,7 +138,8 @@ def int8_ffn_block(x: jnp.ndarray, w1q, w1s, b1, w2q, w2s, b2,
         out_specs=row_h,
         out_shape=jax.ShapeDtypeStruct((n_pad, h), x.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=KERNEL_VMEM_LIMIT),
         interpret=interpret,
     )(x2, w1q, w1s.reshape(1, inter).astype(jnp.float32),
       b1.reshape(1, inter).astype(jnp.float32), w2q,
@@ -243,7 +245,8 @@ def int8_attention_block(x: jnp.ndarray, wqkvq, wqkvs, bqkv, woq, wos,
         out_shape=jax.ShapeDtypeStruct((n, h), x.dtype),
         scratch_shapes=[pltpu.VMEM((R, h), x.dtype)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=KERNEL_VMEM_LIMIT),
         interpret=interpret,
     )(x2, wqkvq, wqkvs.reshape(1, 3 * h).astype(jnp.float32),
       bqkv.reshape(1, 3 * h).astype(jnp.float32), woq,

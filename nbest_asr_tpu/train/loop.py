@@ -808,15 +808,28 @@ def build_model(opt: RunOptions, memory: Memory, tokenizer):
 
     enc_cfg = None
     enc_params = None
+
+    def resolve_int8(flag):
+        # None = auto: int8 training GEMMs wherever the bf16 megakernels
+        # would route (TPU backend + bfloat16 compute — the int8-train
+        # kernels require the non-streaming bf16 weight layout,
+        # ops/fused_ffn.fused_ffn_block_int8_train).  Measured
+        # quality-neutral at n=10 for +5.7% step throughput (QUALITY.md
+        # int8-training table, PERFORMANCE.md); --no_int8_train* forces
+        # the bf16 path.
+        if flag is not None:
+            return bool(flag)
+        return resolve_flash(None) and opt.compute_dtype == "bfloat16"
+
     common = dict(
         hidden_dropout=opt.bert_dropout, attn_dropout=opt.bert_dropout,
         compute_dtype=opt.compute_dtype,
         use_flash_attention=resolve_flash(opt.use_flash_attention),
         use_fused_ffn=resolve_flash(opt.use_fused_ffn),
         use_fused_attn=resolve_flash(opt.use_fused_attn),
-        use_int8_train=opt.int8_train,
-        use_int8_train_attn=opt.int8_train_attn,
-        use_int8_train_bwd=opt.int8_train_bwd,
+        use_int8_train=resolve_int8(opt.int8_train),
+        use_int8_train_attn=resolve_int8(opt.int8_train_attn),
+        use_int8_train_bwd=resolve_int8(opt.int8_train_bwd),
         flash_min_seq=opt.flash_min_seq,
         remat=opt.remat)
 
