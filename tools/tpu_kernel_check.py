@@ -436,14 +436,16 @@ def main(record_path: "str | None" = None) -> int:
 
         dxh, dy2 = jax.grad(head, argnums=(0, 1))(x_, y2_)
         dgd = dgrad_int8(dy2, w2q, w2s)
-        dw2_ = jnp.einsum("bsm,bsk->mk", gd_.astype(f32),
+        # FFN-block tensors are 2D (rows, features) — n is the
+        # flattened batch*seq axis
+        dw2_ = jnp.einsum("nm,nk->mk", gd_.astype(f32),
                           dy2.astype(f32))
 
         def gelu_path(h2_):
             return jnp.sum(gelu(h2_) * jax.lax.stop_gradient(dgd))
 
         dh = jax.grad(gelu_path)(h_.astype(f32))
-        dw1_ = jnp.einsum("bsk,bsm->km", x_.astype(f32), dh)
+        dw1_ = jnp.einsum("nk,nm->km", x_.astype(f32), dh)
         dx_ = dxh.astype(f32) + dgrad_int8(dh, w1q, w1s)
         return dx_, dw1_, dw2_
 
@@ -847,6 +849,149 @@ def main(record_path: "str | None" = None) -> int:
     check_rel("int8_attention_block vs dense_int8 oracle",
               np.asarray(got_a, np.float32)[mrows],
               np.asarray(want_a, np.float32)[mrows], 0.02)
+
+    # ---- segment-mask (packed-example) attention — on-chip oracles ---- #
+    # Round 5's example packing gives every attention mask SEGMENT
+    # semantics (a query attends exactly the keys sharing its positive
+    # mask value; ops/attention.py multi_head_attention is the
+    # definition), so multi-valued masks produce block-diagonal packed
+    # attention in all four routed kernels with no extra inputs.
+    # Interpret-mode parity is pinned by tests/test_packing.py; these
+    # are the REAL-Mosaic oracles (the in-kernel query-segment column is
+    # extracted from the lane-vector mask by a broadcasted-iota diagonal
+    # gather — exactly the construct interpret mode can't stress).
+    bsg, ssg = 4, 256
+    seg_np = np.zeros((bsg, ssg), np.float32)
+    seg_np[0, : ssg // 3] = 1.0                      # 2 segs + pad tail
+    seg_np[0, ssg // 3: 2 * ssg // 3] = 2.0
+    seg_np[1, : ssg // 2] = 1.0                      # 1 seg + pad tail
+    for j, lo in enumerate(range(0, ssg, ssg // 4)):  # 4 full segs
+        seg_np[2, lo: lo + ssg // 4] = float(j + 1)
+    seg_np[3, :] = 1.0                               # unpacked row
+    seg_m = jnp.asarray(seg_np)
+    vsg = seg_np > 0
+    qs = jnp.asarray(rng.randn(bsg, ssg, 4, 64), jnp.float32)
+    ks = jnp.asarray(rng.randn(bsg, ssg, 4, 64), jnp.float32)
+    vs = jnp.asarray(rng.randn(bsg, ssg, 4, 64), jnp.float32)
+    out_sg = jax.jit(flash_attention)(qs, ks, vs, seg_m)
+    with jax.default_matmul_precision("highest"):
+        ref_sg = multi_head_attention(qs, ks, vs, seg_m)
+    check("flash_attention segment fwd (single-block)",
+          np.asarray(out_sg)[vsg], np.asarray(ref_sg)[vsg], 5e-5)
+    out_sgt = jax.jit(functools.partial(
+        flash_attention, block_q=128, block_k=128))(qs, ks, vs, seg_m)
+    check("flash_attention segment fwd (tiled)",
+          np.asarray(out_sgt)[vsg], np.asarray(ref_sg)[vsg], 5e-5)
+
+    vsg_j = jnp.asarray(vsg.astype(np.float32))
+
+    def loss_sg(fn):
+        return lambda q_, k_, v_: jnp.sum(
+            fn(q_, k_, v_, seg_m) ** 2 * vsg_j[:, :, None, None])
+
+    gsf = jax.jit(jax.grad(loss_sg(flash_attention),
+                           argnums=(0, 1, 2)))(qs, ks, vs)
+    with jax.default_matmul_precision("highest"):
+        gsr = jax.grad(loss_sg(multi_head_attention),
+                       argnums=(0, 1, 2))(qs, ks, vs)
+    for a, b_, nm in zip(gsf, gsr, "qkv"):
+        check(f"flash_attention segment d{nm}", a, b_, 2e-3)
+
+    # fused attention megakernel (training default): fwd + grads on the
+    # packed mask, bf16 production dtype vs the f32 XLA oracle
+    seg_a_np = np.zeros((ba, sa), np.float32)
+    seg_a_np[0, :40] = 1.0
+    seg_a_np[0, 40:88] = 2.0
+    seg_a_np[1, :50] = 1.0
+    for j, lo in enumerate(range(0, sa, sa // 3)):
+        seg_a_np[2, lo: lo + sa // 3] = float(j + 1)
+    seg_a_np[3, :] = 1.0
+    seg_a = jnp.asarray(seg_a_np)
+    vsa = jnp.asarray((seg_a_np > 0).astype(np.float32))
+
+    def fab_seg_oracle(x_, wq_, wo_):
+        qkv_ = x_ @ wq_ + bqkv
+        q_, k_, v_ = jnp.split(qkv_, 3, axis=-1)
+        ctx_ = multi_head_attention(
+            q_.reshape(ba, sa, nha, da), k_.reshape(ba, sa, nha, da),
+            v_.reshape(ba, sa, nha, da), seg_a,
+            deterministic=True).reshape(ba, sa, ha)
+        return layer_norm((ctx_ @ wo_ + bo_a) + x_, ls_a, lb_a)
+
+    with jax.default_matmul_precision("highest"):
+        want_fs = fab_seg_oracle(xa, wqkv, wo_a)
+    got_fs = jax.jit(lambda x_: fused_attention_block(
+        x_, wqkv, bqkv, wo_a, bo_a, ls_a, lb_a, seg_a,
+        n_heads=nha))(xa)
+    check("fused_attn segment fwd",
+          np.asarray(got_fs)[seg_a_np > 0],
+          np.asarray(want_fs)[seg_a_np > 0], 1e-4)
+
+    def floss_sg(fn):
+        return lambda *a_: jnp.sum(
+            (fn(*a_).astype(jnp.float32) * vsa[:, :, None]) ** 2)
+
+    gfs = jax.jit(jax.grad(
+        floss_sg(lambda x_, a_, c_: fused_attention_block(
+            x_, a_, bqkv, c_, bo_a, ls_a, lb_a, seg_a, n_heads=nha)),
+        argnums=(0, 1, 2)))(xab, wqb, wob)
+    with jax.default_matmul_precision("highest"):
+        gfso = jax.grad(floss_sg(fab_seg_oracle), argnums=(0, 1, 2))(
+            xa, wqkv, wo_a)
+    for a, b_, nm in zip(gfs, gfso, ("dx", "dwqkv", "dwo")):
+        check_rel(f"fused_attn segment {nm} (bf16)", a, b_, 0.05)
+
+    # int8-forward training attention on the packed mask
+    def fab_i8_seg_chain(x_, wq_, wo_):
+        wqq_, wqs_ = _qw(wq_.astype(jnp.float32), axis_in=-2)
+        woq_, wos_ = _qw(wo_.astype(jnp.float32), axis_in=-2)
+        qkv_ = _di8(x_, wqq_, wqs_, bqkv)
+        q_, k_, v_ = jnp.split(qkv_, 3, axis=-1)
+        ctx_ = multi_head_attention(
+            q_.reshape(ba, sa, nha, da), k_.reshape(ba, sa, nha, da),
+            v_.reshape(ba, sa, nha, da), seg_a,
+            deterministic=True).reshape(ba, sa, ha)
+        return _di8(ctx_, woq_, wos_, bo_a)
+
+    got_is = jax.jit(lambda x_, a_, c_: fused_attention_block_int8_train(
+        x_, a_, bqkv, c_, bo_a, ls_a, lb_a, seg_a, n_heads=nha))(
+        xab, wqb, wob)
+    with jax.default_matmul_precision("highest"):
+        want_is = layer_norm(
+            fab_i8_seg_chain(xab, wqb, wob).astype(jnp.float32)
+            + xab.astype(jnp.float32), ls_a, lb_a, 1e-12)
+    check_rel("int8_train_attn segment fwd vs quantized chain",
+              np.asarray(got_is, np.float32)[seg_a_np > 0],
+              np.asarray(want_is, np.float32)[seg_a_np > 0], 0.02)
+
+    # int8 SERVING attention on the packed mask (Predictor batches stay
+    # unpacked today, but the kernel contract is mask-semantics-wide)
+    seg_i_np = np.zeros((bq, sq), np.float32)
+    seg_i_np[:, : sq // 2] = 1.0
+    seg_i_np[:, sq // 2: 3 * sq // 4] = 2.0
+    seg_i_np[0, 3 * sq // 4:] = 3.0
+    seg_i = jnp.asarray(seg_i_np)
+
+    got_si = jax.jit(lambda x_: int8_attention_block(
+        x_, wqq, wqs, bqk, woq, wos, boq, lsq, lbq, seg_i,
+        n_heads=nhq))(xi)
+
+    def i8_attn_seg_oracle(x_):
+        qkv = dense_int8(x_, wqq, wqs, bqk)
+        dh = hq // nhq
+        q_, k_, v_ = jnp.split(qkv, 3, axis=-1)
+        q_ = q_.reshape(bq, sq, nhq, dh)
+        k_ = k_.reshape(bq, sq, nhq, dh)
+        v_ = v_.reshape(bq, sq, nhq, dh)
+        ctx = multi_head_attention(q_, k_, v_, seg_i).reshape(
+            bq, sq, hq)
+        out_ = dense_int8(ctx, woq, wos, boq)
+        return layer_norm(x_ + out_, lsq, lbq)
+
+    want_si = jax.jit(i8_attn_seg_oracle)(xi)
+    check_rel("int8_attention_block segment fwd vs dense_int8 oracle",
+              np.asarray(got_si, np.float32)[seg_i_np > 0],
+              np.asarray(want_si, np.float32)[seg_i_np > 0], 0.02)
 
     print("ALL PASS" if not failures else f"FAILURES: {failures}")
     if record_path:
